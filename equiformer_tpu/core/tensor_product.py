@@ -183,7 +183,7 @@ class TensorProduct:
                 w = w.reshape(w.shape[:-1] + shape)
                 if scale_weights:
                     w = w * jnp.asarray(self.slice_sqrt_k[ins.i_out], dtype=dtype)
-            res = self._path(ins, u, v, C, w)
+            res = self._path(ins, u, v, C, w, self._cg[idx])
             contrib.setdefault(ins.i_out, []).append(res)
 
         pieces = []
@@ -200,14 +200,14 @@ class TensorProduct:
         return jnp.concatenate(pieces, axis=-1)
 
     @staticmethod
-    def _path(ins, u, v, C, w):
+    def _path(ins, u, v, C, w, cg_np):
         d1, d2, d3 = C.shape
         if ins.mode == "uvw":
             if d2 == 1 and d1 == d3:
                 # l (x) 0 -> l : component-normalized CG is c * identity, so
                 # this path is a pure (per-irrep) matmul that lands on the MXU.
                 scal = v[..., :, 0]  # [..., mul2]
-                c = float(np.asarray(C)[0, 0, 0])
+                c = float(cg_np[0, 0, 0])
                 tmp = jnp.einsum("...ui,...v->...uvi", u, scal) * c
                 eq = "...uvi,...uvw->...wi" if w.ndim > 3 else "...uvi,uvw->...wi"
                 return jnp.einsum(eq, tmp, w)

@@ -1,0 +1,64 @@
+"""Static-shape radius graph construction under jit.
+
+TPU-native replacement for ``torch_cluster.radius_graph``
+(graph_attention_transformer.py:866-867): an O(N^2) masked distance matrix
+over the padded node array, converted to a fixed-capacity edge list with
+``jnp.nonzero(size=...)``.  For molecular workloads (N_pad of a few hundred
+to a few thousand) the dense pass is trivially cheap on the VPU and keeps the
+whole training step fused on device — including after position augmentation
+(DeNS noise / Noisy Nodes), matching reference on-the-fly graph building.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class EdgeList(NamedTuple):
+    src: jnp.ndarray  # [E_cap] int32
+    dst: jnp.ndarray  # [E_cap] int32
+    mask: jnp.ndarray  # [E_cap] bool
+
+
+def radius_graph(
+    pos: jnp.ndarray,
+    batch: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    r: float,
+    max_edges: int,
+    loop: bool = False,
+) -> EdgeList:
+    """All ordered pairs (src, dst) within radius ``r`` inside the same graph.
+
+    pos: [N, 3]; batch: [N] graph index per node; node_mask: [N] bool.
+    Self-loops excluded unless ``loop``.  Both directions are emitted (the
+    reference radius_graph is symmetric).  Edges beyond ``max_edges`` are
+    silently dropped (reference analog: max_num_neighbors truncation).
+    """
+    n = pos.shape[0]
+    diff = pos[:, None, :] - pos[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    adj = d2 < (r * r)
+    adj &= batch[:, None] == batch[None, :]
+    adj &= node_mask[:, None] & node_mask[None, :]
+    if not loop:
+        adj &= ~jnp.eye(n, dtype=bool)
+    src, dst = jnp.nonzero(adj, size=max_edges, fill_value=0)
+    num = jnp.sum(adj)
+    mask = jnp.arange(max_edges) < num
+    return EdgeList(src.astype(jnp.int32), dst.astype(jnp.int32), mask)
+
+
+def edge_vectors(pos: jnp.ndarray, edges: EdgeList, eps: float = 1e-12):
+    """Edge displacement vec = pos[src] - pos[dst] and its length.
+
+    Matches reference orientation (graph_attention_transformer.py:868).
+    Padded edges produce zero vectors / zero length.
+    """
+    vec = pos[edges.src] - pos[edges.dst]
+    vec = jnp.where(edges.mask[:, None], vec, 0.0)
+    length = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), eps))
+    length = jnp.where(edges.mask, length, 0.0)
+    return vec, length

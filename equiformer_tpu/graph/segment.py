@@ -1,0 +1,92 @@
+"""Masked segment reductions over padded edge/node arrays.
+
+TPU-native replacements for torch_scatter.scatter / torch_geometric.utils
+(softmax, degree, global pooling) used throughout the reference
+(e.g. graph_attention_transformer.py:508,513,517, instance_norm.py).  All
+shapes are static; padding is handled with boolean masks so XLA sees dense,
+fusable segment ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(data, segment_ids, num_segments: int, mask=None):
+    """Sum ``data`` [E, ...] into ``num_segments`` rows by ``segment_ids``."""
+    if mask is not None:
+        data = jnp.where(_expand(mask, data), data, 0)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(data, segment_ids, num_segments: int, mask=None, eps: float = 1e-12):
+    total = segment_sum(data, segment_ids, num_segments, mask)
+    if mask is None:
+        count = jax.ops.segment_sum(
+            jnp.ones(data.shape[:1], data.dtype), segment_ids, num_segments
+        )
+    else:
+        count = jax.ops.segment_sum(
+            mask.astype(data.dtype), segment_ids, num_segments
+        )
+    count = jnp.maximum(count, eps)
+    return total / _expand_to(count, total)
+
+
+def segment_max(data, segment_ids, num_segments: int, mask=None):
+    if mask is not None:
+        neg = jnp.asarray(jnp.finfo(data.dtype).min, data.dtype)
+        data = jnp.where(_expand(mask, data), data, neg)
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+def segment_softmax(scores, segment_ids, num_segments: int, mask=None):
+    """Numerically stable softmax of ``scores`` [E, ...] grouped by segment.
+
+    Equivalent of ``torch_geometric.utils.softmax(alpha, edge_dst)``
+    (graph_attention_transformer.py:508) with padding: masked-out entries get
+    probability 0; empty segments produce all-zero probabilities.
+    """
+    m = segment_max(scores, segment_ids, num_segments, mask)
+    m = jnp.where(jnp.isfinite(m), m, 0)  # empty segments -> shift of 0
+    shifted = scores - m[segment_ids]
+    if mask is not None:
+        # zero the masked entries *before* exp so the untaken branch can't
+        # overflow and poison gradients through jnp.where
+        emask = _expand(mask, shifted)
+        shifted = jnp.where(emask, shifted, 0)
+        ex = jnp.where(emask, jnp.exp(shifted), 0)
+    else:
+        ex = jnp.exp(shifted)
+    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
+    denom = jnp.maximum(denom, jnp.asarray(1e-16, scores.dtype))
+    return ex / denom[segment_ids]
+
+
+def degree(segment_ids, num_segments: int, mask=None, dtype=jnp.float32):
+    """In-degree per node (torch_geometric.utils.degree equivalent)."""
+    ones = jnp.ones(segment_ids.shape, dtype)
+    if mask is not None:
+        ones = jnp.where(mask, ones, 0)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: float, mask=None):
+    """Degree-normalized aggregation: segment-sum / sqrt(avg_aggregate_num).
+
+    Reference ``ScaledScatter`` (graph_attention_transformer.py:693-706).
+    """
+    return segment_sum(data, segment_ids, num_segments, mask) / (
+        avg_aggregate_num ** 0.5
+    )
+
+
+def _expand(mask, data):
+    return mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
+
+
+def _expand_to(x, target):
+    return x.reshape(x.shape + (1,) * (target.ndim - x.ndim))

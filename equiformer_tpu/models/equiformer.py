@@ -1,0 +1,396 @@
+"""Equiformer: equivariant graph attention transformer (flagship, QM9 family).
+
+TPU-native re-design of the reference model
+(/root/reference/nets/graph_attention_transformer.py:402-899): static padded
+graphs, segment softmax/sum aggregation, per-irrep MXU matmuls, flax modules.
+
+Blocks:
+* ``GraphAttention`` — MLP attention with depthwise-TP messages; linear and
+  nonlinear message paths (reference :402-533).
+* ``FeedForwardNetwork`` — two FCTPs against the constant node attr with a
+  gate in between (:536-571).
+* ``TransBlock`` — pre-norm residual block (:574-667).
+* ``GraphAttentionTransformer`` — embeddings + N blocks + norm + scalar head +
+  scaled scatter (:736-899).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.irreps import Irrep, Irreps
+from ..core.spherical import spherical_harmonics_for_irreps
+from ..core.tensor_product import depthwise_tp
+from ..graph.batching import GraphsTuple
+from ..graph.radius_graph import EdgeList, edge_vectors, radius_graph
+from ..graph.segment import degree, scaled_scatter_sum, segment_softmax, segment_sum
+from ..nn.activation import Activation, normalized_activation
+from ..nn.attention_utils import heads2vec, heads_irreps, vec2heads
+from ..nn.dropout import EquivariantDropout, GraphDropPath
+from ..nn.linear import IrrepsLinear
+from ..nn.norms import get_norm_layer
+from ..nn.radial import make_rbf
+from ..nn.tp_modules import FCTP, FCTPSwishGate, EdgeDegreeEmbedding, NodeEmbedding, SeparableFCTP
+
+# QM9 graph statistics at r=5A (reference graph_attention_transformer.py:33-36)
+_AVG_NUM_NODES = 18.03065905448718
+_AVG_DEGREE = 15.57930850982666
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    # torch_geometric glorot on [heads, channels]
+    bound = math.sqrt(6.0 / (shape[-2] + shape[-1]))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class GraphAttention(nn.Module):
+    irreps_node_input: Irreps
+    irreps_node_attr: Irreps
+    irreps_edge_attr: Irreps
+    irreps_node_output: Irreps
+    fc_neurons: Optional[Tuple[int, ...]]
+    irreps_head: Irreps
+    num_heads: int
+    irreps_pre_attn: Optional[Irreps] = None
+    rescale_degree: bool = False
+    nonlinear_message: bool = False
+    alpha_drop: float = 0.1
+    proj_drop: float = 0.1
+
+    def setup(self):
+        irreps_in = Irreps(self.irreps_node_input)
+        pre = Irreps(self.irreps_pre_attn) if self.irreps_pre_attn else irreps_in
+        head = Irreps(self.irreps_head)
+        H = self.num_heads
+
+        self.merge_src = IrrepsLinear(irreps_in, pre, use_bias=True, name="merge_src")
+        self.merge_dst = IrrepsLinear(irreps_in, pre, use_bias=False, name="merge_dst")
+
+        irreps_attn_heads = heads_irreps(head, H)
+        mul_alpha = irreps_attn_heads.count("0e")
+        mul_alpha_head = mul_alpha // H
+        irreps_alpha = Irreps(f"{mul_alpha}x0e")
+        irreps_attn_all = (irreps_alpha + irreps_attn_heads).simplify()
+        self._mul_alpha_head = mul_alpha_head
+        self._irreps_attn_heads = irreps_attn_heads
+
+        if self.nonlinear_message:
+            self.sep_act = SeparableFCTP(
+                pre, Irreps(self.irreps_edge_attr), pre,
+                fc_neurons=self.fc_neurons, use_activation=True,
+                norm_layer=None, internal_weights=False, name="sep_act",
+            )
+            dtp_plan = depthwise_tp(pre, Irreps(self.irreps_edge_attr), pre)
+            self.sep_alpha = IrrepsLinear(dtp_plan.irreps_out, irreps_alpha, name="sep_alpha")
+            self.sep_value = SeparableFCTP(
+                pre, Irreps(self.irreps_edge_attr), irreps_attn_heads,
+                fc_neurons=None, use_activation=False, norm_layer=None,
+                internal_weights=True, name="sep_value",
+            )
+        else:
+            self.sep = SeparableFCTP(
+                pre, Irreps(self.irreps_edge_attr), irreps_attn_all,
+                fc_neurons=self.fc_neurons, use_activation=False,
+                norm_layer=None, internal_weights=False, name="sep",
+            )
+
+        self.alpha_act = normalized_activation("smooth_leaky_relu:0.2")
+        self.alpha_dot = self.param("alpha_dot", _glorot, (H, mul_alpha_head))
+        self.proj = IrrepsLinear(
+            irreps_attn_heads, Irreps(self.irreps_node_output), name="proj"
+        )
+        if self.proj_drop != 0.0:
+            self.proj_dropout = EquivariantDropout(
+                Irreps(self.irreps_node_output), self.proj_drop
+            )
+
+    def __call__(
+        self,
+        node_input,
+        node_attr,
+        edges: EdgeList,
+        edge_attr,
+        edge_scalars,
+        deterministic: bool = True,
+    ):
+        num_nodes = node_input.shape[0]
+        head = Irreps(self.irreps_head)
+        H = self.num_heads
+        mah = self._mul_alpha_head
+
+        msg_src = self.merge_src(node_input)
+        msg_dst = self.merge_dst(node_input)
+        message = msg_src[edges.src] + msg_dst[edges.dst]
+
+        if self.nonlinear_message:
+            w = self.sep_act.dtp_weights(edge_scalars)
+            message = self.sep_act.apply_dtp(message, edge_attr, w)
+            alpha = self.sep_alpha(message)  # [E, mul_alpha]
+            alpha = vec2heads(Irreps(f"{mah}x0e"), H, alpha)  # [E, H, mah]
+            value = self.sep_act.apply_lin(message)
+            value = self.sep_act.apply_gate_fn(value)
+            value = self.sep_value(value, edge_attr=edge_attr, edge_scalars=None)
+            value = vec2heads(head, H, value)  # [E, H, head_dim]
+        else:
+            message = self.sep(message, edge_attr=edge_attr, edge_scalars=edge_scalars)
+            message = vec2heads(
+                (Irreps(f"{mah}x0e") + head).simplify(), H, message
+            )
+            alpha = message[..., :mah]
+            value = message[..., mah:]
+
+        alpha = self.alpha_act(alpha)
+        alpha = jnp.einsum("ehk,hk->eh", alpha, self.alpha_dot.astype(alpha.dtype))
+        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask)
+        if self.alpha_drop != 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = 1.0 - self.alpha_drop
+            m = jax.random.bernoulli(rng, keep, alpha.shape)
+            alpha = alpha * m.astype(alpha.dtype) / keep
+
+        attn = value * alpha[..., None]
+        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask)
+        attn = heads2vec(head, attn)
+
+        if self.rescale_degree:
+            deg = degree(edges.dst, num_nodes, mask=edges.mask, dtype=attn.dtype)
+            attn = attn * deg[:, None]
+
+        out = self.proj(attn)
+        if self.proj_drop != 0.0:
+            out = self.proj_dropout(out, deterministic=deterministic)
+        return out
+
+
+class FeedForwardNetwork(nn.Module):
+    irreps_node_input: Irreps
+    irreps_node_attr: Irreps
+    irreps_node_output: Irreps
+    irreps_mlp_mid: Optional[Irreps] = None
+    proj_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, node_input, node_attr, deterministic: bool = True):
+        mid = Irreps(self.irreps_mlp_mid) if self.irreps_mlp_mid else Irreps(self.irreps_node_input)
+        x = FCTPSwishGate(
+            Irreps(self.irreps_node_input), Irreps(self.irreps_node_attr), mid,
+            name="fctp_1",
+        )(node_input, node_attr)
+        x = FCTP(
+            mid, Irreps(self.irreps_node_attr), Irreps(self.irreps_node_output),
+            name="fctp_2",
+        )(x, node_attr)
+        if self.proj_drop != 0.0:
+            x = EquivariantDropout(Irreps(self.irreps_node_output), self.proj_drop)(
+                x, deterministic=deterministic
+            )
+        return x
+
+
+class TransBlock(nn.Module):
+    irreps_node_input: Irreps
+    irreps_node_attr: Irreps
+    irreps_edge_attr: Irreps
+    irreps_node_output: Irreps
+    fc_neurons: Tuple[int, ...]
+    irreps_head: Irreps
+    num_heads: int
+    irreps_pre_attn: Optional[Irreps] = None
+    rescale_degree: bool = False
+    nonlinear_message: bool = False
+    alpha_drop: float = 0.1
+    proj_drop: float = 0.1
+    drop_path_rate: float = 0.0
+    irreps_mlp_mid: Optional[Irreps] = None
+    norm_layer: str = "layer"
+
+    @nn.compact
+    def __call__(
+        self,
+        node_input,
+        node_attr,
+        edges: EdgeList,
+        edge_attr,
+        edge_scalars,
+        batch,
+        node_mask,
+        num_graphs,
+        deterministic: bool = True,
+    ):
+        irreps_in = Irreps(self.irreps_node_input)
+        irreps_out = Irreps(self.irreps_node_output)
+        norm_cls = get_norm_layer(self.norm_layer)
+
+        x = norm_cls(irreps_in, name="norm_1")(
+            node_input, batch=batch, node_mask=node_mask, num_graphs=num_graphs
+        )
+        x = GraphAttention(
+            irreps_node_input=irreps_in,
+            irreps_node_attr=Irreps(self.irreps_node_attr),
+            irreps_edge_attr=Irreps(self.irreps_edge_attr),
+            irreps_node_output=irreps_in,
+            fc_neurons=self.fc_neurons,
+            irreps_head=Irreps(self.irreps_head),
+            num_heads=self.num_heads,
+            irreps_pre_attn=self.irreps_pre_attn,
+            rescale_degree=self.rescale_degree,
+            nonlinear_message=self.nonlinear_message,
+            alpha_drop=self.alpha_drop,
+            proj_drop=self.proj_drop,
+            name="ga",
+        )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
+        if self.drop_path_rate > 0.0:
+            x = GraphDropPath(self.drop_path_rate, name="drop_path_1")(
+                x, batch, num_graphs, deterministic=deterministic
+            )
+        node_output = node_input + x
+
+        x = norm_cls(irreps_in, name="norm_2")(
+            node_output, batch=batch, node_mask=node_mask, num_graphs=num_graphs
+        )
+        x = FeedForwardNetwork(
+            irreps_node_input=irreps_in,
+            irreps_node_attr=Irreps(self.irreps_node_attr),
+            irreps_node_output=irreps_out,
+            irreps_mlp_mid=self.irreps_mlp_mid,
+            proj_drop=self.proj_drop,
+            name="ffn",
+        )(x, node_attr, deterministic=deterministic)
+        if irreps_in != irreps_out:
+            node_output = FCTP(
+                irreps_in, Irreps(self.irreps_node_attr), irreps_out, name="ffn_shortcut"
+            )(node_output, node_attr)
+        if self.drop_path_rate > 0.0:
+            x = GraphDropPath(self.drop_path_rate, name="drop_path_2")(
+                x, batch, num_graphs, deterministic=deterministic
+            )
+        return node_output + x
+
+
+class GraphAttentionTransformer(nn.Module):
+    """QM9-style scalar-property Equiformer (reference :736-899)."""
+
+    irreps_node_embedding: Irreps = Irreps("128x0e+64x1e+32x2e")
+    num_layers: int = 6
+    irreps_node_attr: Irreps = Irreps("1x0e")
+    irreps_sh: Irreps = Irreps("1x0e+1x1e+1x2e")
+    max_radius: float = 5.0
+    number_of_basis: int = 128
+    basis_type: str = "gaussian"
+    fc_neurons: Tuple[int, ...] = (64, 64)
+    irreps_feature: Irreps = Irreps("512x0e")
+    irreps_head: Irreps = Irreps("32x0e+16x1e+8x2e")
+    num_heads: int = 4
+    irreps_pre_attn: Optional[Irreps] = None
+    rescale_degree: bool = False
+    nonlinear_message: bool = False
+    irreps_mlp_mid: Irreps = Irreps("128x0e+64x1e+32x2e")
+    norm_layer: str = "layer"
+    alpha_drop: float = 0.2
+    proj_drop: float = 0.0
+    out_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    max_atom_type: int = 5
+    avg_num_nodes: float = _AVG_NUM_NODES
+    avg_degree: float = _AVG_DEGREE
+    max_edges: int = 8192
+    task_mean: float = 0.0
+    task_std: float = 1.0
+    atomref: Optional[Tuple[float, ...]] = None
+    remat: bool = False
+
+    def build_graph(self, pos, batch, node_mask):
+        return radius_graph(pos, batch, node_mask, self.max_radius, self.max_edges)
+
+    @nn.compact
+    def __call__(self, graphs: GraphsTuple, deterministic: bool = True):
+        pos = graphs.pos
+        batch = graphs.batch
+        node_mask = graphs.node_mask
+        num_graphs = graphs.graph_mask.shape[0]
+        num_nodes = pos.shape[0]
+
+        edges = self.build_graph(pos, batch, node_mask)
+        edge_vec, edge_len = edge_vectors(pos, edges)
+        edge_sh = spherical_harmonics_for_irreps(Irreps(self.irreps_sh), edge_vec)
+
+        atom_emb, atom_onehot = NodeEmbedding(
+            Irreps(self.irreps_node_embedding), self.max_atom_type, name="atom_embed"
+        )(graphs.species, dtype=pos.dtype)
+        rbf = make_rbf(self.basis_type, self.number_of_basis, self.max_radius)
+        edge_scalars = rbf(edge_len)
+        fc = (self.number_of_basis,) + tuple(self.fc_neurons)
+        edge_deg = EdgeDegreeEmbedding(
+            Irreps(self.irreps_node_embedding),
+            Irreps(self.irreps_sh),
+            fc,
+            self.avg_degree,
+            name="edge_deg_embed",
+        )(edge_sh, edge_scalars, edges.src, edges.dst, edges.mask, num_nodes)
+        node_features = atom_emb + edge_deg
+        node_attr = jnp.ones((num_nodes, 1), pos.dtype)
+
+        block_cls = TransBlock
+        if self.remat:
+            block_cls = nn.remat(TransBlock, static_argnums=(9,))
+        for i in range(self.num_layers):
+            out_irreps = (
+                Irreps(self.irreps_feature)
+                if i == self.num_layers - 1
+                else Irreps(self.irreps_node_embedding)
+            )
+            node_features = block_cls(
+                irreps_node_input=Irreps(self.irreps_node_embedding),
+                irreps_node_attr=Irreps(self.irreps_node_attr),
+                irreps_edge_attr=Irreps(self.irreps_sh),
+                irreps_node_output=out_irreps,
+                fc_neurons=fc,
+                irreps_head=Irreps(self.irreps_head),
+                num_heads=self.num_heads,
+                irreps_pre_attn=self.irreps_pre_attn,
+                rescale_degree=self.rescale_degree,
+                nonlinear_message=self.nonlinear_message,
+                alpha_drop=self.alpha_drop,
+                proj_drop=self.proj_drop,
+                drop_path_rate=self.drop_path_rate,
+                irreps_mlp_mid=Irreps(self.irreps_mlp_mid),
+                norm_layer=self.norm_layer,
+                name=f"block_{i}",
+            )(
+                node_features,
+                node_attr,
+                edges,
+                edge_sh,
+                edge_scalars,
+                batch,
+                node_mask,
+                num_graphs,
+                deterministic,
+            )
+
+        feat_irreps = Irreps(self.irreps_feature)
+        node_features = get_norm_layer(self.norm_layer)(feat_irreps, name="norm")(
+            node_features, batch=batch, node_mask=node_mask, num_graphs=num_graphs
+        )
+        if self.out_drop != 0.0:
+            node_features = EquivariantDropout(feat_irreps, self.out_drop)(
+                node_features, deterministic=deterministic
+            )
+        x = IrrepsLinear(feat_irreps, feat_irreps, name="head_lin1")(node_features)
+        x = Activation(feat_irreps, ["silu"])(x)
+        x = IrrepsLinear(feat_irreps, Irreps("1x0e"), name="head_lin2")(x)
+
+        outputs = scaled_scatter_sum(
+            x, batch, num_graphs, self.avg_num_nodes, mask=node_mask
+        )  # [G, 1]
+        if self.atomref is not None:
+            ref = jnp.asarray(self.atomref, pos.dtype)[graphs.species]
+            per_graph_ref = segment_sum(ref[:, None], batch, num_graphs, mask=node_mask)
+            outputs = outputs + per_graph_ref
+        return outputs[:, 0]

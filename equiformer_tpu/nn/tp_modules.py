@@ -1,0 +1,262 @@
+"""Flax modules around the core tensor products.
+
+* ``FCTP`` — fully-connected TP with internal weights + scalar bias
+  (reference FullyConnectedTensorProductRescale).
+* ``FCTPSwishGate`` — FCTP into a SiLU/sigmoid Gate
+  (FullyConnectedTensorProductRescaleSwishGate, tensor_product_rescale.py:195-221).
+* ``SeparableFCTP`` — depthwise TP (per-edge weights from a RadialProfile) ->
+  irreps linear -> optional norm -> optional gate
+  (graph_attention_transformer.py:186-248).
+* ``NodeEmbedding`` / ``EdgeDegreeEmbedding`` / ``scaled_scatter``
+  (graph_attention_transformer.py:670-733).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.irreps import Irrep, Irreps
+from ..core.tensor_product import TensorProduct, depthwise_tp, fully_connected_tp
+from ..graph.segment import scaled_scatter_sum
+from .activation import Activation, Gate, gate_for, irreps2gate
+from .linear import IrrepsLinear
+from .norms import get_norm_layer
+from .radial import RadialProfile
+
+
+def _tp_weight_init(tp: TensorProduct):
+    std = tp.weight_std_flat()
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+
+    return init
+
+
+def _scalar_bias(module: nn.Module, x: jnp.ndarray, irreps: Irreps, name="bias"):
+    """Add a learnable bias (init 0) to every even-scalar block."""
+    num_scalar = sum(mi.mul for mi in irreps if mi.ir.is_scalar())
+    if num_scalar == 0:
+        return x
+    b = module.param(name, nn.initializers.zeros, (num_scalar,))
+    pieces = []
+    i = bi = 0
+    for mul, ir in irreps:
+        blk = x[..., i : i + mul * ir.dim]
+        if ir.is_scalar():
+            blk = blk + b[bi : bi + mul].astype(x.dtype)
+            bi += mul
+        pieces.append(blk)
+        i += mul * ir.dim
+    return jnp.concatenate(pieces, axis=-1)
+
+
+class FCTP(nn.Module):
+    """Fully-connected tensor product with internal weights and scalar bias."""
+
+    irreps_in1: Irreps
+    irreps_in2: Irreps
+    irreps_out: Irreps
+    use_bias: bool = True
+    rescale: bool = True
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        tp = fully_connected_tp(
+            Irreps(self.irreps_in1),
+            Irreps(self.irreps_in2),
+            Irreps(self.irreps_out),
+            rescale=self.rescale,
+        )
+        w = self.param("w", _tp_weight_init(tp), (tp.weight_numel,))
+        out = tp.apply(x1, x2, w.astype(x1.dtype))
+        if self.use_bias:
+            out = _scalar_bias(self, out, tp.irreps_out)
+        return out
+
+
+class FCTPSwishGate(nn.Module):
+    """FCTP whose output feeds a SiLU/sigmoid Gate (output irreps = target)."""
+
+    irreps_in1: Irreps
+    irreps_in2: Irreps
+    irreps_out: Irreps
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        gate, irreps_gate_in = gate_for(Irreps(self.irreps_out))
+        out = FCTP(
+            Irreps(self.irreps_in1),
+            Irreps(self.irreps_in2),
+            irreps_gate_in,
+            use_bias=self.use_bias,
+            name="fctp",
+        )(x1, x2)
+        return gate(out)
+
+
+class DTPLayer(nn.Module):
+    """Depthwise TP with either internal weights or externally supplied flat
+    per-edge weights; no bias (all reference DTP call sites use bias=False)."""
+
+    irreps_node: Irreps
+    irreps_edge: Irreps
+    irreps_target: Irreps
+    internal_weights: bool = False
+
+    def setup(self):
+        self.plan = depthwise_tp(
+            Irreps(self.irreps_node), Irreps(self.irreps_edge), Irreps(self.irreps_target)
+        )
+        if self.internal_weights:
+            self.w = self.param(
+                "w", _tp_weight_init(self.plan), (self.plan.weight_numel,)
+            )
+
+    @property
+    def irreps_out(self) -> Irreps:
+        return self.plan.irreps_out
+
+    @property
+    def weight_numel(self) -> int:
+        return self.plan.weight_numel
+
+    def __call__(self, node_on_edge, edge_attr, weights: Optional[jnp.ndarray] = None):
+        if self.internal_weights:
+            return self.plan.apply(
+                node_on_edge, edge_attr, self.w.astype(node_on_edge.dtype)
+            )
+        # external raw weights (e.g. radial MLP output): fan-in scale applied here
+        return self.plan.apply(node_on_edge, edge_attr, weights, scale_weights=True)
+
+
+class SeparableFCTP(nn.Module):
+    """Depthwise + pointwise separable equivariant convolution on edges."""
+
+    irreps_node: Irreps
+    irreps_edge: Irreps
+    irreps_out: Irreps
+    fc_neurons: Optional[Tuple[int, ...]] = None  # radial MLP hidden dims (incl. input dim)
+    use_activation: bool = False
+    norm_layer: Optional[str] = None
+    internal_weights: bool = False
+
+    def setup(self):
+        irreps_out = Irreps(self.irreps_out)
+        self.dtp = DTPLayer(
+            Irreps(self.irreps_node),
+            Irreps(self.irreps_edge),
+            irreps_out,
+            internal_weights=self.internal_weights,
+        )
+        plan = depthwise_tp(
+            Irreps(self.irreps_node), Irreps(self.irreps_edge), irreps_out
+        )
+        if self.fc_neurons is not None:
+            self.dtp_rad = RadialProfile(
+                features=tuple(self.fc_neurons) + (plan.weight_numel,)
+            )
+        scalars, gates, gated = irreps2gate(irreps_out)
+        if self.use_activation:
+            irreps_lin_output = (scalars + gates + gated).simplify()
+        else:
+            irreps_lin_output = irreps_out
+        self.lin = IrrepsLinear(plan.irreps_out, irreps_lin_output, name="lin")
+        if self.norm_layer is not None:
+            self.norm = get_norm_layer(self.norm_layer)(irreps_lin_output)
+        if self.use_activation:
+            if gated.num_irreps == 0:
+                self.gate = Activation(irreps_out, ["silu"])
+            else:
+                self.gate = Gate(scalars, gates, gated)
+
+    def __call__(
+        self,
+        node_on_edge,
+        edge_attr,
+        edge_scalars=None,
+        batch=None,
+        num_graphs=None,
+        apply_gate: bool = True,
+    ):
+        w = None
+        if self.fc_neurons is not None and edge_scalars is not None:
+            w = self.dtp_rad(edge_scalars)
+        out = self.dtp(node_on_edge, edge_attr, w)
+        out = self.lin(out)
+        if self.norm_layer is not None:
+            out = self.norm(out, batch=batch, num_graphs=num_graphs)
+        if self.use_activation and apply_gate:
+            out = self.gate(out)
+        return out
+
+    # Pieces exposed for the nonlinear-message attention path
+    def dtp_weights(self, edge_scalars):
+        return self.dtp_rad(edge_scalars)
+
+    def apply_dtp(self, node_on_edge, edge_attr, weights):
+        return self.dtp(node_on_edge, edge_attr, weights)
+
+    def apply_lin(self, x):
+        return self.lin(x)
+
+    def apply_gate_fn(self, x):
+        return self.gate(x)
+
+
+class NodeEmbedding(nn.Module):
+    """One-hot atom type -> irreps embedding, weights scaled by sqrt(num_types).
+
+    Returns (embedding, onehot) — the onehot doubles as node_attr in the
+    reference (graph_attention_transformer.py:670-690).
+    """
+
+    irreps_out: Irreps
+    max_atom_type: int
+
+    @nn.compact
+    def __call__(self, species: jnp.ndarray, dtype=jnp.float32):
+        onehot = jax.nn.one_hot(species, self.max_atom_type, dtype=dtype)
+        emb = IrrepsLinear(
+            Irreps(f"{self.max_atom_type}x0e"),
+            Irreps(self.irreps_out),
+            weight_init_scale=float(np.sqrt(self.max_atom_type)),
+            name="lin",
+        )(onehot)
+        return emb, onehot
+
+
+class EdgeDegreeEmbedding(nn.Module):
+    """Degree-aware initial node features: constant scalar -> linear -> DTP with
+    SH weighted by a radial MLP -> linear -> scaled scatter onto destinations."""
+
+    irreps_out: Irreps
+    irreps_edge: Irreps
+    fc_neurons: Tuple[int, ...]
+    avg_degree: float
+
+    def setup(self):
+        irreps_out = Irreps(self.irreps_out)
+        self.exp = IrrepsLinear(Irreps("1x0e"), irreps_out, name="exp")
+        self.dw = DTPLayer(
+            irreps_out, Irreps(self.irreps_edge), irreps_out, internal_weights=False
+        )
+        plan = depthwise_tp(irreps_out, Irreps(self.irreps_edge), irreps_out)
+        self.rad = RadialProfile(features=tuple(self.fc_neurons) + (plan.weight_numel,))
+        self.proj = IrrepsLinear(plan.irreps_out, irreps_out, name="proj")
+
+    def __call__(self, edge_attr, edge_scalars, edge_src, edge_dst, edge_mask, num_nodes):
+        ones = jnp.ones((num_nodes, 1), edge_attr.dtype)
+        feat = self.exp(ones)
+        w = self.rad(edge_scalars)
+        edge_feat = self.dw(feat[edge_src], edge_attr, w)
+        edge_feat = self.proj(edge_feat)
+        return scaled_scatter_sum(
+            edge_feat, edge_dst, num_nodes, self.avg_degree, mask=edge_mask
+        )
