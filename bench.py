@@ -1,0 +1,115 @@
+"""Benchmark: QM9 Equiformer training throughput (graphs/sec/chip).
+
+Runs the flagship graph_attention_transformer_nonlinear_l2 full training step
+(forward + backward + AdamW + EMA, alpha dropout active) on synthetic batches
+with QM9 statistics (avg 18 atoms, r=5A radius graphs), batch 128 — the
+reference training configuration (main_qm9.py defaults).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); we use
+an estimated 400 graphs/sec for PyTorch Equiformer QM9 training on one A100
+(batch 128, ~3.5M params, e3nn TPs) as the denominator — the BASELINE.json
+target of 3x then corresponds to vs_baseline >= 3.0.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_GRAPHS_PER_SEC = 400.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny model on CPU")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from equiformer_tpu.core import Irreps
+    from equiformer_tpu.data import GraphLoader, qm9_like_dataset
+    from equiformer_tpu.models import GraphAttentionTransformer, model_entrypoint
+    from equiformer_tpu.train import (
+        TrainState,
+        cosine_warmup_schedule,
+        create_optimizer,
+        make_qm9_steps,
+    )
+
+    batch_size = 8 if args.smoke else args.batch
+    node_cap = ((batch_size * 24 + 127) // 128) * 128
+    edge_cap = ((node_cap * 20 + 127) // 128) * 128
+
+    if args.smoke:
+        model = GraphAttentionTransformer(
+            irreps_node_embedding=Irreps("16x0e+8x1e+4x2e"),
+            num_layers=2,
+            irreps_sh=Irreps("1x0e+1x1e+1x2e"),
+            number_of_basis=16,
+            fc_neurons=(16, 16),
+            irreps_feature=Irreps("32x0e"),
+            irreps_head=Irreps("4x0e+2x1e+1x2e"),
+            num_heads=2,
+            irreps_mlp_mid=Irreps("16x0e+8x1e+4x2e"),
+            max_edges=edge_cap,
+        )
+    else:
+        model = model_entrypoint("graph_attention_transformer_nonlinear_l2")(
+            radius=5.0, num_basis=128, max_edges=edge_cap
+        )
+
+    data = qm9_like_dataset(batch_size * 4, seed=0)
+    loader = GraphLoader(
+        data, batch_size=batch_size, node_capacity=node_cap, shuffle=False
+    )
+    batches = list(loader)
+    batch = batches[0]
+
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    opt = create_optimizer(
+        cosine_warmup_schedule(5e-4, 100, 100000), weight_decay=5e-3
+    )
+    train_step, _ = make_qm9_steps(model, opt, 0.0, 1.0, "l1")
+    state = TrainState.create(params, opt)
+    step = jax.jit(train_step, donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(1)
+    for i in range(args.warmup):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batches[i % len(batches)], sub)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 5 if args.smoke else args.steps
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batches[i % len(batches)], sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    graphs_per_sec = batch_size * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "qm9_train_throughput",
+                "value": round(graphs_per_sec, 2),
+                "unit": "graphs/sec/chip",
+                "vs_baseline": round(graphs_per_sec / A100_BASELINE_GRAPHS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,8 +61,13 @@ def spherical_harmonics(
     ls = list(ls)
     lmax = max(ls)
     if normalize:
-        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-        x = x / jnp.maximum(n, eps)
+        # Double-where so zero vectors (padded edges) are safe to ALL
+        # derivative orders — forces require grad-of-grad through here and a
+        # plain x/max(|x|, eps) produces NaN second derivatives at x=0.
+        n2 = jnp.sum(x * x, axis=-1, keepdims=True)
+        safe = n2 > eps
+        n2_safe = jnp.where(safe, n2, 1.0)
+        x = jnp.where(safe, x, 0.0) / jnp.sqrt(n2_safe)
     xs, ys_, zs = x[..., 0], x[..., 1], x[..., 2]
     y1 = math.sqrt(3.0) * jnp.stack([ys_, zs, xs], axis=-1)
     ys = [jnp.ones_like(x[..., :1]), y1]

@@ -1,0 +1,96 @@
+"""Host-side batching pipeline: shuffling, capacity-padded collation, device
+prefetch — the analog of torch_geometric DataLoader + OCP BalancedBatchSampler
+(SURVEY.md §2.5, §2.7) for static-shape XLA execution."""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..graph.batching import GraphsTuple, collate
+
+
+class GraphLoader:
+    """Iterates padded GraphsTuple batches over an in-memory graph list.
+
+    ``node_capacity`` defaults to batch_size * max atom count (never drops a
+    graph); pass an explicit tighter capacity for speed once dataset stats are
+    known (avg_nodes * batch_size * slack).
+    """
+
+    def __init__(
+        self,
+        graphs: Sequence[Dict[str, np.ndarray]],
+        batch_size: int,
+        node_capacity: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        with_forces: bool = False,
+        extra_node_keys: Sequence[str] = (),
+        extra_graph_keys: Sequence[str] = (),
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        if node_capacity is None:
+            max_atoms = max(int(g["pos"].shape[0]) for g in self.graphs)
+            node_capacity = batch_size * max_atoms
+        self.node_capacity = node_capacity
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.with_forces = with_forces
+        self.extra_node_keys = tuple(extra_node_keys)
+        self.extra_graph_keys = tuple(extra_graph_keys)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.graphs) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[GraphsTuple]:
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        order = order[self.shard_index :: self.num_shards]
+        bs = self.batch_size
+        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
+            chunk = [self.graphs[j] for j in order[i : i + bs]]
+            yield collate(
+                chunk,
+                node_capacity=self.node_capacity,
+                graph_capacity=bs,
+                with_forces=self.with_forces,
+                extra_node_keys=self.extra_node_keys,
+                extra_graph_keys=self.extra_graph_keys,
+            )
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch so host collation overlaps device compute."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        for item in iterator:
+            q.put(item)
+        q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -5,4 +5,6 @@ from .equiformer import (
     GraphAttentionTransformer,
     TransBlock,
 )
+from .md17_models import energy_and_forces
 from . import qm9_models  # noqa: F401  (registers entrypoints)
+from . import md17_models  # noqa: F401

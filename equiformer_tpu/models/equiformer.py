@@ -303,6 +303,7 @@ class GraphAttentionTransformer(nn.Module):
     task_mean: float = 0.0
     task_std: float = 1.0
     atomref: Optional[Tuple[float, ...]] = None
+    use_attn_head: bool = False  # GraphAttention as output head (MD17 variants)
     remat: bool = False
 
     def build_graph(self, pos, batch, node_mask):
@@ -382,9 +383,27 @@ class GraphAttentionTransformer(nn.Module):
             node_features = EquivariantDropout(feat_irreps, self.out_drop)(
                 node_features, deterministic=deterministic
             )
-        x = IrrepsLinear(feat_irreps, feat_irreps, name="head_lin1")(node_features)
-        x = Activation(feat_irreps, ["silu"])(x)
-        x = IrrepsLinear(feat_irreps, Irreps("1x0e"), name="head_lin2")(x)
+        if self.use_attn_head:
+            x = GraphAttention(
+                irreps_node_input=feat_irreps,
+                irreps_node_attr=Irreps(self.irreps_node_attr),
+                irreps_edge_attr=Irreps(self.irreps_sh),
+                irreps_node_output=Irreps("1x0e"),
+                fc_neurons=fc,
+                irreps_head=Irreps(self.irreps_head),
+                num_heads=self.num_heads,
+                irreps_pre_attn=self.irreps_pre_attn,
+                rescale_degree=self.rescale_degree,
+                nonlinear_message=self.nonlinear_message,
+                alpha_drop=self.alpha_drop,
+                proj_drop=self.proj_drop,
+                name="attn_head",
+            )(node_features, node_attr, edges, edge_sh, edge_scalars,
+              deterministic=deterministic)
+        else:
+            x = IrrepsLinear(feat_irreps, feat_irreps, name="head_lin1")(node_features)
+            x = Activation(feat_irreps, ["silu"])(x)
+            x = IrrepsLinear(feat_irreps, Irreps("1x0e"), name="head_lin2")(x)
 
         outputs = scaled_scatter_sum(
             x, batch, num_graphs, self.avg_num_nodes, mask=node_mask

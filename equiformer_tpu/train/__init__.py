@@ -1,0 +1,9 @@
+from .engine import AverageMeter, make_md17_steps, make_qm9_steps, masked_mean
+from .optim import (
+    cosine_warmup_schedule,
+    create_optimizer,
+    ema_update,
+    multistep_warmup_schedule,
+    no_weight_decay_mask,
+)
+from .state import TrainState
