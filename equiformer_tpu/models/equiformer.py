@@ -194,6 +194,10 @@ class FeedForwardNetwork(nn.Module):
 
 
 class TransBlock(nn.Module):
+    """Pre-norm residual block; ``attn_type`` selects MLP attention (the
+    Equiformer GraphAttention) or the dot-product ablation (DPTransBlock,
+    dp_attention_transformer.py:166-255)."""
+
     irreps_node_input: Irreps
     irreps_node_attr: Irreps
     irreps_edge_attr: Irreps
@@ -209,6 +213,8 @@ class TransBlock(nn.Module):
     drop_path_rate: float = 0.0
     irreps_mlp_mid: Optional[Irreps] = None
     norm_layer: str = "layer"
+    attn_type: str = "mlp"  # 'mlp' | 'dot'
+    avg_degree: float = 1.0
 
     @nn.compact
     def __call__(
@@ -230,21 +236,42 @@ class TransBlock(nn.Module):
         x = norm_cls(irreps_in, name="norm_1")(
             node_input, batch=batch, node_mask=node_mask, num_graphs=num_graphs
         )
-        x = GraphAttention(
-            irreps_node_input=irreps_in,
-            irreps_node_attr=Irreps(self.irreps_node_attr),
-            irreps_edge_attr=Irreps(self.irreps_edge_attr),
-            irreps_node_output=irreps_in,
-            fc_neurons=self.fc_neurons,
-            irreps_head=Irreps(self.irreps_head),
-            num_heads=self.num_heads,
-            irreps_pre_attn=self.irreps_pre_attn,
-            rescale_degree=self.rescale_degree,
-            nonlinear_message=self.nonlinear_message,
-            alpha_drop=self.alpha_drop,
-            proj_drop=self.proj_drop,
-            name="ga",
-        )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
+        if self.attn_type == "mlp":
+            x = GraphAttention(
+                irreps_node_input=irreps_in,
+                irreps_node_attr=Irreps(self.irreps_node_attr),
+                irreps_edge_attr=Irreps(self.irreps_edge_attr),
+                irreps_node_output=irreps_in,
+                fc_neurons=self.fc_neurons,
+                irreps_head=Irreps(self.irreps_head),
+                num_heads=self.num_heads,
+                irreps_pre_attn=self.irreps_pre_attn,
+                rescale_degree=self.rescale_degree,
+                nonlinear_message=self.nonlinear_message,
+                alpha_drop=self.alpha_drop,
+                proj_drop=self.proj_drop,
+                name="ga",
+            )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
+        elif self.attn_type == "dot":
+            from .dp_attention import DotProductAttention
+
+            x = DotProductAttention(
+                irreps_node_input=irreps_in,
+                irreps_node_attr=Irreps(self.irreps_node_attr),
+                irreps_edge_attr=Irreps(self.irreps_edge_attr),
+                irreps_node_output=irreps_in,
+                fc_neurons=self.fc_neurons,
+                irreps_head=Irreps(self.irreps_head),
+                num_heads=self.num_heads,
+                irreps_pre_attn=self.irreps_pre_attn,
+                rescale_degree=self.rescale_degree,
+                avg_degree=self.avg_degree,
+                alpha_drop=self.alpha_drop,
+                proj_drop=self.proj_drop,
+                name="dpa",
+            )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
+        else:
+            raise ValueError(f"unknown attn_type {self.attn_type}")
         if self.drop_path_rate > 0.0:
             x = GraphDropPath(self.drop_path_rate, name="drop_path_1")(
                 x, batch, num_graphs, deterministic=deterministic
@@ -304,6 +331,7 @@ class GraphAttentionTransformer(nn.Module):
     task_std: float = 1.0
     atomref: Optional[Tuple[float, ...]] = None
     use_attn_head: bool = False  # GraphAttention as output head (MD17 variants)
+    attn_type: str = "mlp"  # 'mlp' (Equiformer) | 'dot' (ablation)
     remat: bool = False
 
     def build_graph(self, pos, batch, node_mask):
@@ -362,6 +390,8 @@ class GraphAttentionTransformer(nn.Module):
                 drop_path_rate=self.drop_path_rate,
                 irreps_mlp_mid=Irreps(self.irreps_mlp_mid),
                 norm_layer=self.norm_layer,
+                attn_type=self.attn_type,
+                avg_degree=self.avg_degree,
                 name=f"block_{i}",
             )(
                 node_features,

@@ -157,3 +157,21 @@ def graph_attention_transformer_nonlinear_bessel_l3_md17(radius=5.0, num_basis=1
 @register_model
 def graph_attention_transformer_nonlinear_bessel_l3_e3_md17(radius=5.0, num_basis=128, **kw):
     return _md17(radius, num_basis, nonlinear=True, basis="bessel", alpha_drop=0.0, **_L3_E3, **kw)
+
+
+@register_model
+def dot_product_attention_transformer_exp_l2_md17(radius=5.0, num_basis=128, **kw):
+    """dp_attention_transformer_md17.py:238-255."""
+    return _md17(
+        radius, num_basis, nonlinear=False, basis="exp", alpha_drop=0.0,
+        attn_type="dot", **kw,
+    )
+
+
+@register_model
+def dot_product_attention_transformer_exp_l3_md17(radius=5.0, num_basis=128, **kw):
+    """dp_attention_transformer_md17.py:257-273."""
+    return _md17(
+        radius, num_basis, nonlinear=False, basis="exp", alpha_drop=0.0,
+        attn_type="dot", **_L3, **kw,
+    )

@@ -74,3 +74,10 @@ def graph_attention_transformer_nonlinear_bessel_l2_drop01(radius=5.0, num_basis
 @register_model
 def graph_attention_transformer_nonlinear_bessel_l2_drop00(radius=5.0, num_basis=128, **kwargs):
     return _gat(radius, num_basis, nonlinear=True, basis="bessel", alpha_drop=0.0, **kwargs)
+
+
+@register_model
+def dot_product_attention_transformer_l2(radius=5.0, num_basis=128, **kwargs):
+    """Dot-product attention + linear messages ablation
+    (dp_attention_transformer.py:416-432)."""
+    return _gat(radius, num_basis, nonlinear=False, attn_type="dot", **kwargs)

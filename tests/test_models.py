@@ -140,3 +140,25 @@ def test_e3_variant_forward():
     params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
     out = model.apply(params, b, deterministic=True)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dot_product_attention_model():
+    model = _tiny_model(attn_type="dot")
+    b = _batch()
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    out = model.apply(params, b, deterministic=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # rotation invariance of the dp variant
+    import dataclasses
+    from equiformer_tpu.core.rotations import random_rotation
+
+    R = random_rotation(RNG)
+    br = dataclasses.replace(b, pos=jnp.asarray(np.asarray(b.pos) @ R.T))
+    outr = model.apply(params, br, deterministic=True)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(outr))) < 1e-6
+    from equiformer_tpu.models import model_entrypoint
+
+    m = model_entrypoint("dot_product_attention_transformer_l2")(
+        radius=5.0, num_basis=8, max_edges=128
+    )
+    assert m.attn_type == "dot"
