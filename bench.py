@@ -49,7 +49,7 @@ def main():
 
     batch_size = 8 if args.smoke else args.batch
     node_cap = ((batch_size * 24 + 127) // 128) * 128
-    edge_cap = ((node_cap * 20 + 127) // 128) * 128
+    edge_cap = ((node_cap * 17 + 127) // 128) * 128
 
     if args.smoke:
         model = GraphAttentionTransformer(
@@ -66,7 +66,7 @@ def main():
         )
     else:
         model = model_entrypoint("graph_attention_transformer_nonlinear_l2")(
-            radius=5.0, num_basis=128, max_edges=edge_cap
+            radius=5.0, num_basis=128, max_edges=edge_cap, remat=True
         )
 
     data = qm9_like_dataset(batch_size * 4, seed=0)

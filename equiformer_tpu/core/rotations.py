@@ -55,6 +55,8 @@ def wigner_D(l: int, R: np.ndarray) -> np.ndarray:
 def irreps_D(irreps: Irreps, R: np.ndarray, parity: int = 1) -> np.ndarray:
     """Block-diagonal D for a feature vector with the given irreps layout.
 
+    Blocks follow the framework's component-major layout ([d, mul] per
+    block flattened), so each (mul, ir) block contributes kron(D_l, I_mul).
     ``parity=-1`` composes with spatial inversion (each block multiplied by
     ir.p), for testing full O(3) equivariance of the _e3 model variants.
     """
@@ -63,8 +65,7 @@ def irreps_D(irreps: Irreps, R: np.ndarray, parity: int = 1) -> np.ndarray:
         D = wigner_D(ir.l, R)
         if parity == -1:
             D = D * ir.p
-        for _ in range(mul):
-            blocks.append(D)
+        blocks.append(np.kron(D, np.eye(mul)))
     n = sum(b.shape[0] for b in blocks)
     out = np.zeros((n, n))
     i = 0

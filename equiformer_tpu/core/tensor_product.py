@@ -67,14 +67,31 @@ def _fan_in(ins: Instruction, irreps_in1: Irreps, irreps_in2: Irreps) -> int:
 
 
 def _split(x: jnp.ndarray, irreps: Irreps) -> List[jnp.ndarray]:
-    """Split flat [..., dim] into per-block [..., mul, 2l+1] views."""
+    """Split flat [..., dim] into per-block [..., 2l+1, mul] views.
+
+    LAYOUT CONTRACT (TPU-first): this framework stores irreps features
+    *component-major*: within each (mul, ir) block the flat order is
+    (component, copy), i.e. a [d_ir, mul] matrix.  The multiplicity therefore
+    always lands on the last (lane) axis of every intermediate, so XLA tiles
+    pad an 8-sublane axis of size 2l+1 instead of a 128-lane axis — avoiding
+    up to 25x memory/compute inflation that the e3nn-style [mul, d] layout
+    costs on TPU.
+    """
     out = []
     i = 0
     for mul, ir in irreps:
         blk = x[..., i : i + mul * ir.dim]
-        out.append(blk.reshape(blk.shape[:-1] + (mul, ir.dim)))
+        out.append(blk.reshape(blk.shape[:-1] + (ir.dim, mul)))
         i += mul * ir.dim
     return out
+
+
+def _merge(blocks: List[jnp.ndarray], irreps: Irreps) -> jnp.ndarray:
+    """Inverse of _split: [..., d, mul] blocks -> flat [..., dim]."""
+    flat = [
+        b.reshape(b.shape[:-2] + (mi.dim,)) for b, mi in zip(blocks, irreps)
+    ]
+    return jnp.concatenate(flat, axis=-1) if len(flat) > 1 else flat[0]
 
 
 class TensorProduct:
@@ -201,33 +218,36 @@ class TensorProduct:
 
     @staticmethod
     def _path(ins, u, v, C, w, cg_np):
+        """One instruction; u: [..., d1, mul1], v: [..., d2, mul2] (component-
+        major) -> [..., d3, mul_out].  Keeps multiplicities on the lane axis."""
         d1, d2, d3 = C.shape
         if ins.mode == "uvw":
             if d2 == 1 and d1 == d3:
                 # l (x) 0 -> l : component-normalized CG is c * identity, so
                 # this path is a pure (per-irrep) matmul that lands on the MXU.
-                scal = v[..., :, 0]  # [..., mul2]
+                scal = v[..., 0, :]  # [..., mul2]
                 c = float(cg_np[0, 0, 0])
-                tmp = jnp.einsum("...ui,...v->...uvi", u, scal) * c
-                eq = "...uvi,...uvw->...wi" if w.ndim > 3 else "...uvi,uvw->...wi"
+                tmp = jnp.einsum("...iu,...v->...iuv", u, scal) * c
+                eq = "...iuv,...uvw->...iw" if w.ndim > 3 else "...iuv,uvw->...iw"
                 return jnp.einsum(eq, tmp, w)
-            tmp = jnp.einsum("...ui,...vj,ijk->...uvk", u, v, C)
-            eq = "...uvk,...uvw->...wk" if w.ndim > 3 else "...uvk,uvw->...wk"
+            tmp = jnp.einsum("...iu,...jv,ijk->...kuv", u, v, C)
+            eq = "...kuv,...uvw->...kw" if w.ndim > 3 else "...kuv,uvw->...kw"
             return jnp.einsum(eq, tmp, w)
         if ins.mode == "uvu":
-            if v.shape[-2] == 1:
+            if v.shape[-1] == 1:
                 # depthwise with single-copy second input (the SH case):
-                # per-sample small matrix M = C . v, then a batched matmul.
-                vv = v[..., 0, :]  # [..., d2]
-                M = jnp.einsum("...j,ijk->...ik", vv, C)
-                tmp = jnp.einsum("...ui,...ik->...uk", u, M)
+                # per-sample small matrix M = C . v, then a batched matmul
+                # [d3, d1] x [d1, mul] with mul on lanes.
+                vv = v[..., :, 0]  # [..., d2]
+                M = jnp.einsum("...j,ijk->...ki", vv, C)  # [..., d3, d1]
+                tmp = jnp.einsum("...ki,...iu->...ku", M, u)
                 if w is None:
                     return tmp
-                return tmp * w[..., :, 0:1]  # w: [..., mul1, 1]
-            tmp = jnp.einsum("...ui,...vj,ijk->...uvk", u, v, C)
+                return tmp * w[..., None, :, 0]  # w: [..., mul1, 1]
+            tmp = jnp.einsum("...iu,...jv,ijk->...kuv", u, v, C)
             if w is None:
-                return jnp.sum(tmp, axis=-2)
-            eq = "...uvk,...uv->...uk" if w.ndim > 2 else "...uvk,uv->...uk"
+                return jnp.sum(tmp, axis=-1)
+            eq = "...kuv,...uv->...ku" if w.ndim > 2 else "...kuv,uv->...ku"
             return jnp.einsum(eq, tmp, w)
         raise ValueError(ins.mode)
 
@@ -300,9 +320,9 @@ def elementwise_multiply(irreps: Irreps, x: jnp.ndarray, scalars: jnp.ndarray):
     i = 0
     s = 0
     for mul, ir in irreps:
-        blk = x[..., i : i + mul * ir.dim].reshape(x.shape[:-1] + (mul, ir.dim))
+        blk = x[..., i : i + mul * ir.dim].reshape(x.shape[:-1] + (ir.dim, mul))
         g = scalars[..., s : s + mul]
-        pieces.append((blk * g[..., None]).reshape(x.shape[:-1] + (mul * ir.dim,)))
+        pieces.append((blk * g[..., None, :]).reshape(x.shape[:-1] + (mul * ir.dim,)))
         i += mul * ir.dim
         s += mul
     return jnp.concatenate(pieces, axis=-1)

@@ -8,3 +8,5 @@ from .equiformer import (
 from .md17_models import energy_and_forces
 from . import qm9_models  # noqa: F401  (registers entrypoints)
 from . import md17_models  # noqa: F401
+from .dens import EquiformerDeNS, add_masked_gaussian_noise, dens_outputs
+from . import dens  # noqa: F401

@@ -367,7 +367,8 @@ class GraphAttentionTransformer(nn.Module):
 
         block_cls = TransBlock
         if self.remat:
-            block_cls = nn.remat(TransBlock, static_argnums=(9,))
+            # num_graphs (8) and deterministic (9) are static python values
+            block_cls = nn.remat(TransBlock, static_argnums=(8, 9))
         for i in range(self.num_layers):
             out_irreps = (
                 Irreps(self.irreps_feature)

@@ -14,26 +14,35 @@ from ..core.irreps import Irreps
 
 
 def vec2heads(irreps_head: Irreps, num_heads: int, x: jnp.ndarray) -> jnp.ndarray:
-    """[N, sum(mul*H*dim)] -> [N, H, irreps_head.dim]."""
+    """[N, sum(mul*H*dim)] -> [N, H, irreps_head.dim] (component-major blocks).
+
+    Flat block layout is [d, H*mul] with heads major in the lane axis; each
+    head keeps its copies contiguous: [d, H, mul] -> [H, d, mul].
+    """
     pieces = []
     i = 0
     for mul, ir in irreps_head:
-        d = mul * ir.dim * num_heads
-        blk = x[..., i : i + d]
-        pieces.append(blk.reshape(blk.shape[:-1] + (num_heads, mul * ir.dim)))
-        i += d
+        size = mul * ir.dim * num_heads
+        blk = x[..., i : i + size]
+        blk = blk.reshape(blk.shape[:-1] + (ir.dim, num_heads, mul))
+        blk = jnp.swapaxes(blk, -3, -2)  # [..., H, d, mul]
+        pieces.append(blk.reshape(blk.shape[:-2] + (ir.dim * mul,)))
+        i += size
     return jnp.concatenate(pieces, axis=-1)
 
 
 def heads2vec(irreps_head: Irreps, x: jnp.ndarray) -> jnp.ndarray:
-    """[N, H, irreps_head.dim] -> [N, H*irreps_head.dim] (block-major)."""
+    """[N, H, irreps_head.dim] -> [N, H*irreps_head.dim] (inverse of vec2heads)."""
     pieces = []
     i = 0
+    H = x.shape[-2]
     for mul, ir in irreps_head:
-        d = mul * ir.dim
-        blk = x[..., i : i + d]
-        pieces.append(blk.reshape(blk.shape[:-2] + (-1,)))
-        i += d
+        size = mul * ir.dim
+        blk = x[..., i : i + size]
+        blk = blk.reshape(blk.shape[:-1] + (ir.dim, mul))  # [..., H, d, mul]
+        blk = jnp.swapaxes(blk, -3, -2)  # [..., d, H, mul]
+        pieces.append(blk.reshape(blk.shape[:-3] + (ir.dim * H * mul,)))
+        i += size
     return jnp.concatenate(pieces, axis=-1)
 
 

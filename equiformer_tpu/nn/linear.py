@@ -36,17 +36,18 @@ class IrrepsLinear(nn.Module):
 
         pieces = []
         for oi, (mul_out, ir_out) in enumerate(irreps_out):
-            # gather all input blocks of the same irrep
+            # gather all input blocks of the same irrep (component-major
+            # [..., d, mul] views; the concat is on the lane/mul axis)
             blocks = []
             for ii, (mul_in, ir_in) in enumerate(irreps_in):
                 if ir_in == ir_out:
                     blk = x[..., in_slices[ii]]
                     blocks.append(
-                        blk.reshape(blk.shape[:-1] + (mul_in, ir_in.dim))
+                        blk.reshape(blk.shape[:-1] + (ir_in.dim, mul_in))
                     )
             if blocks:
-                inp = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=-2)
-                fan_in = inp.shape[-2]
+                inp = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=-1)
+                fan_in = inp.shape[-1]
                 std = self.weight_init_scale / np.sqrt(fan_in)
                 w = self.param(
                     f"w{oi}",
@@ -54,14 +55,14 @@ class IrrepsLinear(nn.Module):
                     (fan_in, mul_out),
                     self.param_dtype,
                 )
-                out = jnp.einsum("...ui,uw->...wi", inp, w.astype(x.dtype))
+                out = jnp.einsum("...iu,uw->...iw", inp, w.astype(x.dtype))
             else:
-                out = jnp.zeros(x.shape[:-1] + (mul_out, ir_out.dim), x.dtype)
+                out = jnp.zeros(x.shape[:-1] + (ir_out.dim, mul_out), x.dtype)
             if self.use_bias and ir_out.is_scalar():
                 b = self.param(
                     f"b{oi}", nn.initializers.zeros, (mul_out,), self.param_dtype
                 )
-                out = out + b.astype(x.dtype)[..., :, None]
+                out = out + b.astype(x.dtype)
             pieces.append(out.reshape(out.shape[:-2] + (mul_out * ir_out.dim,)))
         return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
 

@@ -30,9 +30,10 @@ from ..graph.segment import segment_max, segment_mean
 
 
 def _blocks(x, irreps):
+    # component-major views [..., d, mul] (see core.tensor_product layout note)
     i = 0
     for mul, ir in irreps:
-        yield x[..., i : i + mul * ir.dim].reshape(x.shape[:-1] + (mul, ir.dim)), mul, ir
+        yield x[..., i : i + mul * ir.dim].reshape(x.shape[:-1] + (ir.dim, mul)), mul, ir
         i += mul * ir.dim
 
 
@@ -56,19 +57,19 @@ class EquivariantLayerNorm(nn.Module):
         pieces = []
         for field, mul, ir in _blocks(x, irreps):
             if ir.is_scalar():
-                field = field - jnp.mean(field, axis=-2, keepdims=True)
+                field = field - jnp.mean(field, axis=-1, keepdims=True)
             if self.normalization == "norm":
-                fn = jnp.sum(field**2, axis=-1)
+                fn = jnp.sum(field**2, axis=-2)  # [..., mul]
             else:
-                fn = jnp.mean(field**2, axis=-1)
+                fn = jnp.mean(field**2, axis=-2)
             fn = jnp.mean(fn, axis=-1, keepdims=True)  # [..., 1]
             fn = (fn + self.eps) ** -0.5
             if self.affine:
-                fn = fn * weight[iw : iw + mul]
+                fn = fn * weight[iw : iw + mul]  # [..., mul]
                 iw += mul
-            field = field * fn[..., None]
+            field = field * fn[..., None, :]
             if self.affine and ir.is_scalar():
-                field = field + bias[ib : ib + mul][..., :, None]
+                field = field + bias[ib : ib + mul]
                 ib += mul
             pieces.append(field.reshape(field.shape[:-2] + (mul * ir.dim,)))
         return jnp.concatenate(pieces, axis=-1).astype(in_dtype)
@@ -93,7 +94,7 @@ class EquivariantLayerNormFast(nn.Module):
         pieces = []
         for field, mul, ir in _blocks(x, irreps):
             if ir.is_scalar():
-                f = field[..., 0]
+                f = field[..., 0, :]
                 mean = jnp.mean(f, axis=-1, keepdims=True)
                 var = jnp.mean((f - mean) ** 2, axis=-1, keepdims=True)
                 f = (f - mean) * (var + self.eps) ** -0.5
@@ -103,14 +104,14 @@ class EquivariantLayerNormFast(nn.Module):
                 pieces.append(f)
             else:
                 if self.normalization == "norm":
-                    fn = jnp.sum(field**2, axis=-1)
+                    fn = jnp.sum(field**2, axis=-2)
                 else:
-                    fn = jnp.mean(field**2, axis=-1)
+                    fn = jnp.mean(field**2, axis=-2)
                 fn = jnp.mean(fn, axis=-1, keepdims=True)
                 fn = (fn + self.eps) ** -0.5
                 fn = fn * weight[iw : iw + mul]
                 iw += mul
-                field = field * fn[..., None]
+                field = field * fn[..., None, :]
                 pieces.append(field.reshape(field.shape[:-2] + (mul * ir.dim,)))
         return jnp.concatenate(pieces, axis=-1).astype(in_dtype)
 
@@ -144,15 +145,15 @@ class _GraphStatNorm(nn.Module):
         for field, mul, ir in _blocks(x, irreps):
             if ir.is_scalar():
                 gm = segment_mean(field, batch, num_graphs, mask=node_mask)
-                shift = gm[batch]
+                shift = gm[batch]  # [N, 1, mul]
                 if self.learnable_mean_shift:
-                    shift = shift * mean_shift[ims : ims + mul][:, None]
+                    shift = shift * mean_shift[ims : ims + mul]
                     ims += mul
                 field = field - shift
             if self.normalization == "norm":
-                fn = jnp.sum(field**2, axis=-1)
+                fn = jnp.sum(field**2, axis=-2)  # [N, mul]
             else:
-                fn = jnp.mean(field**2, axis=-1)
+                fn = jnp.mean(field**2, axis=-2)
             if self.reduce == "mean":
                 fn = segment_mean(fn, batch, num_graphs, mask=node_mask)
             else:
@@ -161,9 +162,9 @@ class _GraphStatNorm(nn.Module):
             if self.affine:
                 fn = fn * weight[iw : iw + mul]
                 iw += mul
-            field = field * fn[batch][..., None]
+            field = field * fn[batch][..., None, :]
             if self.affine and ir.is_scalar():
-                field = field + bias[ib : ib + mul][:, None]
+                field = field + bias[ib : ib + mul]
                 ib += mul
             pieces.append(field.reshape(field.shape[:-2] + (mul * ir.dim,)))
         return jnp.concatenate(pieces, axis=-1).astype(in_dtype)

@@ -1,4 +1,4 @@
-from .engine import AverageMeter, make_md17_steps, make_qm9_steps, masked_mean
+from .engine import AverageMeter, make_dens_steps, make_md17_steps, make_qm9_steps, masked_mean
 from .optim import (
     cosine_warmup_schedule,
     create_optimizer,

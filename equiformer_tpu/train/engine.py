@@ -160,6 +160,80 @@ def make_md17_steps(
     return train_step, eval_step
 
 
+def make_dens_steps(
+    model,
+    optimizer: optax.GradientTransformation,
+    task_mean: float = 0.0,
+    task_std: float = 1.0,
+    energy_weight: float = 1.0,
+    force_weight: float = 80.0,
+    denoising_pos_std: float = 0.05,
+    denoising_pos_prob: float = 0.5,
+    corrupt_ratio: Optional[float] = None,
+    ema_decay: Optional[float] = 0.999,
+    pmean_axis: Optional[str] = None,
+):
+    """DeNS training: on-device noise augmentation + 3-term loss
+    (main_md17_dens.py:380-403).  ``train_step`` takes the (possibly decayed)
+    denoising weight as a scalar argument so the schedule stays host-side.
+    Empty-mask loss terms contribute exactly 0 (the reference's NaN guards)."""
+    from ..models.dens import add_masked_gaussian_noise, dens_outputs
+
+    def loss_fn(params, batch: GraphsTuple, rng, dp_weight):
+        r_noise, r_drop = jax.random.split(rng)
+        batch = add_masked_gaussian_noise(
+            batch, r_noise, std=denoising_pos_std, prob=denoising_pos_prob,
+            corrupt_ratio=corrupt_ratio,
+        )
+        energy, outputs_dy = dens_outputs(
+            model, params, batch, rngs={"dropout": r_drop}, deterministic=False
+        )
+        noise_mask = batch.extras["noise_mask"]
+        clean_mask = batch.node_mask & (~noise_mask)
+        loss_e = _l2mae(energy - (batch.y - task_mean) / task_std, batch.graph_mask)
+        loss_f = _l2mae(outputs_dy - batch.forces / task_std, clean_mask)
+        loss_dp = _l2mae(
+            outputs_dy - batch.extras["noise_vec"] / denoising_pos_std, noise_mask
+        )
+        loss = energy_weight * loss_e + force_weight * loss_f + dp_weight * loss_dp
+        return loss, {"loss_e": loss_e, "loss_f": loss_f, "loss_dp": loss_dp}
+
+    def train_step(state: TrainState, batch: GraphsTuple, rng, dp_weight):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, dp_weight
+        )
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
+            aux = jax.lax.pmean(aux, pmean_axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay is not None:
+            ema = ema_update(ema, params, ema_decay)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, ema_params=ema, step=state.step + 1
+        )
+        metrics = dict(aux)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def eval_step(params, batch: GraphsTuple):
+        energy, forces = dens_outputs(model, params, batch, deterministic=True)
+        e_err = energy * task_std + task_mean - batch.y
+        f_err = forces * task_std - batch.forces
+        fmask = batch.node_mask[:, None] * jnp.ones_like(forces)
+        return {
+            "mae_e_sum": jnp.sum(jnp.abs(e_err) * batch.graph_mask),
+            "count_e": jnp.sum(batch.graph_mask),
+            "mae_f_sum": jnp.sum(jnp.abs(f_err) * fmask),
+            "count_f": jnp.sum(fmask),
+        }
+
+    return train_step, eval_step
+
+
 class AverageMeter:
     """Streaming average (engine.py:12-27 equivalent, host-side)."""
 

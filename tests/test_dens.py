@@ -1,0 +1,149 @@
+"""DeNS model + training tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from equiformer_tpu.core import Irreps
+from equiformer_tpu.core.rotations import random_rotation
+from equiformer_tpu.data import GraphLoader, md17_like_dataset
+from equiformer_tpu.models import (
+    EquiformerDeNS,
+    add_masked_gaussian_noise,
+    dens_outputs,
+    model_entrypoint,
+)
+from equiformer_tpu.train import (
+    TrainState,
+    cosine_warmup_schedule,
+    create_optimizer,
+    make_dens_steps,
+)
+
+RNG = np.random.default_rng(6)
+
+
+def _tiny_dens(**kw):
+    base = dict(
+        irreps_node_embedding=Irreps("16x0e+8x1e+4x2e"),
+        num_layers=2,
+        irreps_sh=Irreps("1x0e+1x1e+1x2e"),
+        max_radius=3.0,
+        number_of_basis=8,
+        basis_type="exp",
+        fc_neurons=(8, 8),
+        irreps_feature=Irreps("32x0e+16x1e+8x2e"),
+        irreps_head=Irreps("4x0e+2x1e+1x2e"),
+        num_heads=2,
+        irreps_pre_attn=Irreps("16x0e+8x1e+4x2e"),
+        irreps_mlp_mid=Irreps("16x0e+8x1e+4x2e"),
+        alpha_drop=0.0,
+        proj_drop=0.0,
+        max_atom_type=10,
+        max_edges=1024,
+    )
+    base.update(kw)
+    return EquiformerDeNS(**base)
+
+
+def _batch(seed=21):
+    data = md17_like_dataset(2, num_atoms=9, seed=seed)
+    loader = GraphLoader(
+        data, batch_size=2, node_capacity=40, shuffle=False, with_forces=True
+    )
+    b = next(iter(loader))
+    return dataclasses.replace(
+        b,
+        pos=jnp.asarray(b.pos, jnp.float64),
+        forces=jnp.asarray(b.forces, jnp.float64),
+        y=jnp.asarray(b.y, jnp.float64),
+    )
+
+
+def test_noise_augmentation_semantics():
+    b = _batch()
+    bn = add_masked_gaussian_noise(b, jax.random.PRNGKey(0), std=0.1, prob=1.0)
+    nm = np.asarray(bn.extras["noise_mask"])
+    assert nm.sum() == int(b.node_mask.sum())  # prob=1, all real atoms corrupted
+    # positions changed only on corrupted atoms; padded untouched
+    moved = np.abs(np.asarray(bn.pos) - np.asarray(b.pos)).sum(-1) > 0
+    assert np.array_equal(moved, nm)
+    # force extras zeroed on uncorrupted atoms
+    bn2 = add_masked_gaussian_noise(
+        b, jax.random.PRNGKey(3), std=0.1, prob=0.5, corrupt_ratio=0.5
+    )
+    f = np.asarray(bn2.extras["force"])
+    nm2 = np.asarray(bn2.extras["noise_mask"])
+    assert np.allclose(f[~nm2], 0.0)
+
+
+def test_dens_outputs_mixing_and_equivariance():
+    model = _tiny_dens()
+    b = add_masked_gaussian_noise(_batch(), jax.random.PRNGKey(1), std=0.05, prob=0.5)
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    e, dy = dens_outputs(model, params, b)
+    assert e.shape == (2,) and dy.shape == b.pos.shape
+    assert np.all(np.isfinite(np.asarray(dy)))
+
+    # rotate everything (pos, forces, noise_vec) -> energy invariant, dy rotates
+    R = random_rotation(RNG)
+    extras_r = dict(b.extras)
+    extras_r["force"] = jnp.asarray(np.asarray(b.extras["force"]) @ R.T)
+    extras_r["noise_vec"] = jnp.asarray(np.asarray(b.extras["noise_vec"]) @ R.T)
+    br = dataclasses.replace(
+        b,
+        pos=jnp.asarray(np.asarray(b.pos) @ R.T),
+        forces=jnp.asarray(np.asarray(b.forces) @ R.T),
+        extras=extras_r,
+    )
+    er, dyr = dens_outputs(model, params, br)
+    assert np.max(np.abs(np.asarray(er) - np.asarray(e))) < 1e-6
+    assert np.max(np.abs(np.asarray(dyr) - np.asarray(dy) @ R.T)) < 1e-6
+
+
+def test_dens_without_noise_returns_plain_forces():
+    model = _tiny_dens()
+    b = _batch()
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    e, f = dens_outputs(model, params, b)
+    # finite-difference check that f is -dE/dpos
+    eps, i, k = 1e-5, 2, 0
+    pos_p = np.asarray(b.pos).copy(); pos_p[i, k] += eps
+    pos_m = np.asarray(b.pos).copy(); pos_m[i, k] -= eps
+    ep, _ = model.apply(params, dataclasses.replace(b, pos=jnp.asarray(pos_p)), deterministic=True)
+    em, _ = model.apply(params, dataclasses.replace(b, pos=jnp.asarray(pos_m)), deterministic=True)
+    fd = -(float(jnp.sum(ep)) - float(jnp.sum(em))) / (2 * eps)
+    assert abs(fd - float(f[i, k])) < 1e-5
+
+
+def test_dens_training_step():
+    model = _tiny_dens()
+    data = md17_like_dataset(4, num_atoms=9, seed=9)
+    loader = GraphLoader(data, batch_size=4, node_capacity=40, shuffle=False, with_forces=True)
+    b = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    opt = create_optimizer(
+        cosine_warmup_schedule(1e-3, 2, 100), weight_decay=1e-6, grad_clip_norm=100.0
+    )
+    train_step, eval_step = make_dens_steps(
+        model, opt, 0.0, 1.0, energy_weight=1.0, force_weight=10.0,
+        denoising_pos_std=0.05, denoising_pos_prob=0.5,
+    )
+    state = TrainState.create(params, opt)
+    step = jax.jit(train_step)
+    rng = jax.random.PRNGKey(2)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, b, sub, jnp.asarray(0.5))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["grad_norm"]))
+    ev = jax.jit(eval_step)(state.params, b)
+    assert np.isfinite(float(ev["mae_f_sum"]))
+
+
+def test_dens_registry():
+    m = model_entrypoint("equiformer_md17_dens")(max_edges=128)
+    assert str(m.irreps_feature) == "512x0e+256x1e+128x2e"
+    assert m.nonlinear_message

@@ -113,13 +113,13 @@ def test_equivariant_dropout_structure():
     )
     out = np.asarray(out)
     # whole irrep copies are dropped together: within each l>0 copy, either all
-    # components zero or scaled by 1/keep
-    blk = out[:, 8 : 8 + 12].reshape(4, 4, 3)  # the 4x1e block
-    x_blk = np.asarray(x)[:, 8 : 8 + 12].reshape(4, 4, 3)
+    # components zero or scaled by 1/keep (component-major block [d, mul])
+    blk = out[:, 8 : 8 + 12].reshape(4, 3, 4)  # the 4x1e block
+    x_blk = np.asarray(x)[:, 8 : 8 + 12].reshape(4, 3, 4)
     ratio = blk / x_blk
     for i in range(4):
         for u in range(4):
-            r = ratio[i, u]
+            r = ratio[i, :, u]
             assert np.allclose(r, r[0], atol=1e-6)
             assert abs(r[0]) < 1e-9 or abs(r[0] - 2.0) < 1e-6
     # deterministic passthrough
