@@ -60,3 +60,26 @@ def md17_like_dataset(
         g["forces"] = rng.normal(size=(num_atoms, 3)).astype(np.float32)
         out.append(g)
     return out
+
+
+def oc20_like_dataset(n: int, seed: int = 0, min_atoms: int = 40, max_atoms: int = 80):
+    """Synthetic IS2RE-like systems: slab in a periodic cell + adsorbate tags."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        na = int(rng.integers(min_atoms, max_atoms + 1))
+        a, b, c = rng.uniform(8.0, 14.0, size=3)
+        cell = np.diag([a, b, c]).astype(np.float32)
+        frac = rng.uniform(size=(na, 3))
+        pos = (frac @ cell).astype(np.float32)
+        tags = rng.integers(0, 3, size=na)
+        g = {
+            "pos": pos,
+            "species": rng.integers(1, 84, size=na),
+            "y": np.float32(rng.normal()),
+            "tags": tags.astype(np.int32),
+            "cell": cell,
+            "pos_relaxed": (pos + rng.normal(scale=0.3, size=pos.shape)).astype(np.float32),
+        }
+        out.append(g)
+    return out

@@ -8,3 +8,5 @@ from .segment import (
 )
 from .radius_graph import EdgeList, edge_vectors, radius_graph
 from .batching import GraphsTuple, collate, edge_capacity_for
+from .pbc import PBCEdges, pbc_edge_vectors, radius_graph_pbc, radius_graph_topk
+from .batching import collate_dense

@@ -117,6 +117,65 @@ def collate(
     )
 
 
+def collate_dense(
+    graphs: Sequence[Dict[str, np.ndarray]],
+    max_nodes_per_graph: int,
+    graph_capacity: Optional[int] = None,
+    y_shape: Sequence[int] = (),
+    with_forces: bool = False,
+    extra_node_keys: Sequence[str] = (),
+    extra_graph_keys: Sequence[str] = (),
+) -> GraphsTuple:
+    """Pack graphs with a FIXED per-graph slot count M (N = G * M, graph-
+    contiguous).  Required by the PBC graph builder (graph/pbc.py) which
+    builds per-graph [M, M, C] distance tensors; also the natural layout for
+    OC20 cells (reference BalancedBatchSampler works by atom count — here the
+    static M plays that role)."""
+    g_cap = graph_capacity if graph_capacity is not None else len(graphs)
+    if len(graphs) > g_cap:
+        raise ValueError(f"{len(graphs)} graphs > capacity {g_cap}")
+    M = max_nodes_per_graph
+    for g in graphs:
+        if int(g["pos"].shape[0]) > M:
+            raise ValueError(
+                f"graph with {g['pos'].shape[0]} atoms > per-graph capacity {M}"
+            )
+    n_cap = g_cap * M
+    pos = np.zeros((n_cap, 3), np.float32)
+    species = np.zeros((n_cap,), np.int32)
+    batch = np.repeat(np.arange(g_cap, dtype=np.int32), M)
+    node_mask = np.zeros((n_cap,), bool)
+    graph_mask = np.zeros((g_cap,), bool)
+    y = np.zeros((g_cap,) + tuple(y_shape), np.float32)
+    forces = np.zeros((n_cap, 3), np.float32) if with_forces else None
+    extras: Dict[str, np.ndarray] = {}
+    for k in extra_node_keys:
+        proto = np.asarray(graphs[0][k])
+        extras[k] = np.zeros((n_cap,) + proto.shape[1:], proto.dtype)
+    for k in extra_graph_keys:
+        proto = np.asarray(graphs[0][k])
+        extras[k] = np.zeros((g_cap,) + proto.shape, proto.dtype)
+    for gi, g in enumerate(graphs):
+        n = int(g["pos"].shape[0])
+        i = gi * M
+        pos[i : i + n] = g["pos"]
+        species[i : i + n] = g["species"]
+        node_mask[i : i + n] = True
+        graph_mask[gi] = True
+        if "y" in g and g["y"] is not None:
+            y[gi] = g["y"]
+        if with_forces and "forces" in g:
+            forces[i : i + n] = g["forces"]
+        for k in extra_node_keys:
+            extras[k][i : i + n] = g[k]
+        for k in extra_graph_keys:
+            extras[k][gi] = g[k]
+    return GraphsTuple(
+        pos=pos, species=species, batch=batch, node_mask=node_mask,
+        graph_mask=graph_mask, y=y, forces=forces, extras=extras,
+    )
+
+
 def edge_capacity_for(node_capacity: int, avg_degree: float, slack: float = 1.5) -> int:
     """Heuristic static edge capacity, rounded up to a multiple of 128 (lanes)."""
     cap = int(node_capacity * avg_degree * slack)

@@ -7,3 +7,9 @@ from .optim import (
     no_weight_decay_mask,
 )
 from .state import TrainState
+from .oc20_engine import (
+    aux_weight_schedule,
+    interpolate_init_relaxed_pos,
+    make_oc20_steps,
+    with_grad_accumulation,
+)
