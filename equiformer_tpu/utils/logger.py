@@ -1,0 +1,73 @@
+"""Rank-0 file/console logger + metric writers.
+
+Equivalents of the reference FileLogger (logger.py:4-57) and the OC20
+tensorboard/wandb logger registry (base_trainer_oc20.py:225-236): in JAX the
+rank is ``jax.process_index()``; non-zero processes get a no-op sink.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+
+class FileLogger:
+    def __init__(
+        self,
+        is_master: bool = True,
+        output_dir: Optional[str] = None,
+        name: str = "equiformer_tpu",
+    ):
+        self.is_master = is_master
+        self._logger = None
+        if is_master:
+            logger = logging.getLogger(name)
+            logger.setLevel(logging.INFO)
+            logger.propagate = False
+            logger.handlers.clear()
+            fmt = logging.Formatter("%(asctime)s - %(message)s")
+            sh = logging.StreamHandler(sys.stdout)
+            sh.setFormatter(fmt)
+            logger.addHandler(sh)
+            if output_dir:
+                os.makedirs(output_dir, exist_ok=True)
+                fh = logging.FileHandler(os.path.join(output_dir, "debug.log"))
+                fh.setFormatter(fmt)
+                logger.addHandler(fh)
+            self._logger = logger
+
+    def info(self, msg, *args):
+        if self._logger:
+            self._logger.info(msg, *args)
+
+    def warning(self, msg, *args):
+        if self._logger:
+            self._logger.warning(msg, *args)
+
+
+class MetricsWriter:
+    """JSONL metrics sink (one line per logged step) — greppable, and easy to
+    feed into tensorboard/wandb exporters later."""
+
+    def __init__(self, output_dir: Optional[str], is_master: bool = True):
+        self._fh = None
+        if is_master and output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._fh = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+
+    def write(self, step: int, metrics: Dict, prefix: str = ""):
+        if self._fh is None:
+            return
+        rec = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            rec[(prefix + "/" + k) if prefix else k] = float(v)
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
