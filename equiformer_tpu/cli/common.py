@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from ..data import GraphLoader, prefetch
+from ..parallel import make_mesh, make_parallel_train_step, shard_batch, stack_batches
 from ..train import AverageMeter, TrainState
 from ..train.checkpoint import save_params
 from ..utils.logger import FileLogger, MetricsWriter
@@ -64,7 +65,17 @@ def run_epochs(
 ):
     log = logger or FileLogger(True, args.output_dir)
     writer = MetricsWriter(args.output_dir)
-    step_fn = jax.jit(train_step, donate_argnums=(0,))
+    dp = getattr(args, "dp", 1)
+    mesh = None
+    if dp > 1:
+        # data-parallel over the device mesh; the caller must have built
+        # train_step with pmean_axis='dp'
+        mesh = make_mesh(dp)
+        n_extra = len(extra_step_args(0))
+        step_fn = make_parallel_train_step(train_step, mesh, num_extra_args=n_extra)
+        log.info("data parallel over %d devices", dp)
+    else:
+        step_fn = jax.jit(train_step, donate_argnums=(0,))
     eval_fn = jax.jit(eval_step)
     rng = jax.random.PRNGKey(args.seed)
     best_val = float("inf")
@@ -88,7 +99,19 @@ def run_epochs(
     for epoch in range(args.epochs):
         meters = {k: AverageMeter() for k in metric_keys}
         t0 = time.perf_counter()
-        for i, batch in enumerate(prefetch(iter(train_loader))):
+        it = prefetch(iter(train_loader))
+        if dp > 1:
+            def grouped(itr):
+                while True:
+                    chunk = []
+                    try:
+                        for _ in range(dp):
+                            chunk.append(next(itr))
+                    except StopIteration:
+                        return
+                    yield shard_batch(stack_batches(chunk), mesh)
+            it = grouped(it)
+        for i, batch in enumerate(it):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub, *extra_step_args(epoch))
             global_step += 1

@@ -108,6 +108,7 @@ def main(args):
             denoising_pos_prob=args.denoising_pos_prob,
             corrupt_ratio=args.denoising_corrupt_ratio,
             ema_decay=args.ema_decay,
+            pmean_axis="dp" if args.dp > 1 else None,
         )
 
         def extra(epoch):
@@ -120,7 +121,7 @@ def main(args):
     else:
         train_step, eval_step = make_md17_steps(
             model, opt, mean, std, args.energy_weight, args.force_weight,
-            ema_decay=args.ema_decay,
+            ema_decay=args.ema_decay, pmean_axis="dp" if args.dp > 1 else None,
         )
         extra = lambda epoch: ()
         metric_keys = ("loss", "mae_e", "mae_f")

@@ -65,7 +65,8 @@ def main(args):
     )
     opt = create_optimizer(schedule, args.weight_decay, grad_clip_norm=args.clip_grad)
     train_step, eval_step = make_qm9_steps(
-        model, opt, mean, std, args.loss, ema_decay=args.ema_decay
+        model, opt, mean, std, args.loss, ema_decay=args.ema_decay,
+        pmean_axis="dp" if args.dp > 1 else None,
     )
 
     batch0 = next(iter(train_loader))

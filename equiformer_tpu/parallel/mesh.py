@@ -43,29 +43,28 @@ def shard_batch(batch: GraphsTuple, mesh: Mesh, axis_name: str = "dp") -> Graphs
 
 
 def make_parallel_train_step(
-    train_step: Callable, mesh: Mesh, axis_name: str = "dp", donate: bool = True
+    train_step: Callable,
+    mesh: Mesh,
+    axis_name: str = "dp",
+    donate: bool = True,
+    num_extra_args: int = 0,
 ) -> Callable:
-    """Wrap a single-device ``train_step(state, batch, rng)`` for SPMD DP.
+    """Wrap a single-device ``train_step(state, batch, rng, *extras)`` for SPMD
+    DP.  The wrapped step takes (replicated state, stacked batch [D, ...], rng,
+    *extras) and returns (replicated state, metrics).  The train_step must have
+    been built with ``pmean_axis == axis_name`` so gradients are all-reduced
+    before the optimizer update (the DDP contract)."""
 
-    The wrapped step takes (replicated state, stacked batch [D, ...], rng) and
-    returns (replicated state, psum-averaged metrics).  Gradient averaging
-    happens inside optax via gradient psum — here we average by psum-ing the
-    *gradients* before the update so every replica applies identical updates
-    (the DDP contract).
-    """
-
-    def per_device(state, batch, rng):
+    def per_device(state, batch, rng, *extras):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # [1,...] -> [...]
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        # the train_step must have been built with pmean_axis == axis_name so
-        # gradients are all-reduced before the update (see engine.make_qm9_steps)
-        new_state, metrics = train_step(state, batch, rng)
+        new_state, metrics = train_step(state, batch, rng, *extras)
         return new_state, metrics
 
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P()),
+        in_specs=(P(), P(axis_name), P()) + (P(),) * num_extra_args,
         out_specs=(P(), P()),
         check_vma=False,
     )
