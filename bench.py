@@ -49,8 +49,10 @@ def main():
     )
 
     batch_size = 8 if args.smoke else args.batch
-    node_cap = ((batch_size * 24 + 127) // 128) * 128
-    edge_cap = ((node_cap * 17 + 127) // 128) * 128
+    slots = 30  # per-graph node slots (QM9 molecules have <= 29 atoms)
+    node_cap = batch_size * slots
+    # avg 18 atoms x avg degree 15.6 x 1.3 slack
+    edge_cap = ((int(batch_size * 18 * 15.6 * 1.3) + 127) // 128) * 128
 
     if args.smoke:
         model = GraphAttentionTransformer(
@@ -64,15 +66,18 @@ def main():
             num_heads=2,
             irreps_mlp_mid=Irreps("16x0e+8x1e+4x2e"),
             max_edges=edge_cap,
+            nodes_per_graph=slots,
         )
     else:
         model = model_entrypoint("graph_attention_transformer_nonlinear_l2")(
-            radius=5.0, num_basis=128, max_edges=edge_cap, remat=not args.no_remat
+            radius=5.0, num_basis=128, max_edges=edge_cap, remat=not args.no_remat,
+            nodes_per_graph=slots,
         )
 
     data = qm9_like_dataset(batch_size * 4, seed=0)
     loader = GraphLoader(
-        data, batch_size=batch_size, node_capacity=node_cap, shuffle=False
+        data, batch_size=batch_size, node_capacity=node_cap, shuffle=False,
+        dense_slots=slots,
     )
     batches = list(loader)
     batch = batches[0]

@@ -203,6 +203,24 @@ def main(args):
     if args.mode == "validate":
         return validate(state.ema_params or state.params)
 
+    if args.mode == "predict":
+        # reference EnergyTrainerV2.predict (energy_trainer_v2.py:133-225):
+        # per-rank prediction arrays merged by the master process
+        params = state.ema_params if state.ema_params is not None else state.params
+        energies = []
+        for b in make_batches(val):
+            out = model.apply(params, jax.tree_util.tree_map(jnp.asarray, b),
+                              deterministic=True)
+            e = out[0] if mcfg["use_auxiliary_task"] else out
+            e = np.asarray(e) * ncfg["target_std"] + ncfg["target_mean"]
+            energies.append(e[np.asarray(b.graph_mask)])
+        energies = np.concatenate(energies) if energies else np.zeros(0)
+        rank = jax.process_index()
+        path = os.path.join(args.output_dir, f"predictions_{rank}.npz")
+        np.savez(path, energy=energies)
+        log.info("wrote %d predictions to %s", len(energies), path)
+        return path
+
     for epoch in range(start_epoch, ocfg["max_epochs"]):
         meters = {k: AverageMeter() for k in ("loss", "mae")}
         t0 = time.perf_counter()

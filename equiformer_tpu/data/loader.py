@@ -10,7 +10,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ..graph.batching import GraphsTuple, collate
+from ..graph.batching import GraphsTuple, collate, collate_dense
 
 
 class GraphLoader:
@@ -34,6 +34,8 @@ class GraphLoader:
         extra_graph_keys: Sequence[str] = (),
         num_shards: int = 1,
         shard_index: int = 0,
+        dense_slots: Optional[int] = None,
+        use_native: bool = True,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -49,7 +51,17 @@ class GraphLoader:
         self.extra_graph_keys = tuple(extra_graph_keys)
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.dense_slots = dense_slots
         self.epoch = 0
+        self._arena = None
+        if use_native and dense_slots is not None and not extra_node_keys and not extra_graph_keys:
+            from .. import native
+
+            if native.HAVE_NATIVE:
+                try:
+                    self._arena = native.GraphArena(self.graphs, with_forces=with_forces)
+                except (KeyError, ValueError):
+                    self._arena = None
 
     def __len__(self):
         n = len(self.graphs) // self.num_shards
@@ -67,14 +79,28 @@ class GraphLoader:
         bs = self.batch_size
         for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
             chunk = [self.graphs[j] for j in order[i : i + bs]]
-            yield collate(
-                chunk,
-                node_capacity=self.node_capacity,
-                graph_capacity=bs,
-                with_forces=self.with_forces,
-                extra_node_keys=self.extra_node_keys,
-                extra_graph_keys=self.extra_graph_keys,
-            )
+            if self._arena is not None:
+                yield self._arena.collate_dense(
+                    np.asarray(order[i : i + bs]), self.dense_slots
+                )
+            elif self.dense_slots is not None:
+                yield collate_dense(
+                    chunk,
+                    max_nodes_per_graph=self.dense_slots,
+                    graph_capacity=bs,
+                    with_forces=self.with_forces,
+                    extra_node_keys=self.extra_node_keys,
+                    extra_graph_keys=self.extra_graph_keys,
+                )
+            else:
+                yield collate(
+                    chunk,
+                    node_capacity=self.node_capacity,
+                    graph_capacity=bs,
+                    with_forces=self.with_forces,
+                    extra_node_keys=self.extra_node_keys,
+                    extra_graph_keys=self.extra_graph_keys,
+                )
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

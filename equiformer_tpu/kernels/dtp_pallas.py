@@ -1,0 +1,369 @@
+"""Fused Pallas TPU kernels for the depthwise tensor product (the hot op).
+
+The depthwise TP (uvu, second input = spherical harmonics with mul=1) is the
+reference's dominant kernel (e3nn codegen CUDA); on TPU an einsum formulation
+lowers to per-edge batched matmuls with contraction dims 1-7 — <1% MXU
+utilization.  Here the (sparse) Clebsch-Gordan contraction is unrolled into
+vector FMAs over [edge-tile, mul] lanes: with the component-major feature
+layout every CG term touches a *contiguous* [T_E, mul] tile (multiplicity on
+the 128-lane axis), so the VPU runs at full width.  Per-edge radial weights
+are fused as per-group multiplies and the fan-in rescale is folded into the
+CG constants.
+
+Differentiability: the DTP ``out = sum c * sh[j] * x[i] * w[p]`` is trilinear,
+so all derivatives stay in a closed family of two sparse-trilinear primitives:
+
+* ``T(a, col, b)``  -> lane tensor:  out[o] += c * col[j] * a[i] * b[p]
+* ``R(a, b, d)``    -> column:       col[j] += c * sum_lanes a[i]*b[p]*d[k]
+
+Each primitive's VJP is again T/R with a permuted (static) term list, so
+arbitrary-order autodiff (forces = grad-of-grad) composes by induction.
+Interpret mode makes the same code path unit-testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..core.tensor_product import TensorProduct
+
+
+class Term(NamedTuple):
+    a_off: int  # lane-tile offset in a
+    col_off: int  # column index in col
+    b_off: int  # lane-tile offset in b
+    out_off: int  # lane-tile offset in out (T); for R, the d operand offset
+    mul: int
+    coeff: float
+
+
+def _group(terms: Sequence[Term]):
+    """Group by (out_off, b_off, mul) so the b multiply happens once per group."""
+    groups = {}
+    for t in terms:
+        groups.setdefault((t.out_off, t.b_off, t.mul), []).append(t)
+    return groups
+
+
+def _t_kernel(terms, a_ref, col_ref, b_ref, out_ref):
+    out_acc = {}
+    for (out_off, b_off, mul), ts in _group(terms).items():
+        acc = None
+        for t in ts:
+            col = col_ref[:, t.col_off : t.col_off + 1]
+            a = a_ref[:, t.a_off : t.a_off + t.mul]
+            v = (t.coeff * col) * a
+            acc = v if acc is None else acc + v
+        val = acc * b_ref[:, b_off : b_off + mul]
+        key = (out_off, mul)
+        out_acc[key] = out_acc.get(key, 0.0) + val
+    out_ref[:] = jnp.zeros_like(out_ref)
+    for (out_off, mul), val in out_acc.items():
+        out_ref[:, out_off : out_off + mul] = val
+
+
+def _r_kernel(terms, a_ref, b_ref, d_ref, col_ref):
+    col_acc = {}
+    for t in terms:
+        a = a_ref[:, t.a_off : t.a_off + t.mul]
+        b = b_ref[:, t.b_off : t.b_off + t.mul]
+        d = d_ref[:, t.out_off : t.out_off + t.mul]
+        s = t.coeff * jnp.sum(a * b * d, axis=1, keepdims=True)
+        col_acc[t.col_off] = col_acc.get(t.col_off, 0.0) + s
+    col_ref[:] = jnp.zeros_like(col_ref)
+    for off, s in col_acc.items():
+        col_ref[:, off : off + 1] = s
+
+
+def _lane_spec(tile, d, shared=False):
+    if shared:
+        return pl.BlockSpec((1, d), lambda i: (0, 0))
+    return pl.BlockSpec((tile, d), lambda i: (i, 0))
+
+
+# ---------------------------------------------------------------- primitives
+# T and R are registered as first-class JAX primitives with JVP + transpose
+# rules (each transpose is again a T/R with a permuted static term list), so
+# arbitrary-order autodiff — e.g. training gradients through force = -dE/dpos
+# — composes without falling back to einsums.
+
+from jax.extend import core as jex_core
+from jax.interpreters import ad, mlir
+
+_t_p = jex_core.Primitive("equiformer_dtp_t")
+_r_p = jex_core.Primitive("equiformer_dtp_r")
+
+
+def _pad_edges(arrs, tile, shared_flags):
+    E = None
+    for a, sh in zip(arrs, shared_flags):
+        if not sh:
+            E = a.shape[0]
+            break
+    pad = (-E) % tile
+    if pad == 0:
+        return arrs, E
+    out = []
+    for a, sh in zip(arrs, shared_flags):
+        out.append(a if sh else jnp.pad(a, ((0, pad), (0, 0))))
+    return out, E
+
+
+def t_apply(a, col, b, *, terms, d_a, d_col, d_b, d_out, tile, interpret,
+            shared_a=False, shared_b=False):
+    return _t_p.bind(
+        a, col, b, terms=terms, d_a=d_a, d_col=d_col, d_b=d_b, d_out=d_out,
+        tile=tile, interpret=interpret, shared_a=shared_a, shared_b=shared_b,
+    )
+
+
+def r_apply(a, b, d, *, terms, d_a, d_b, d_d, d_col, tile, interpret,
+            shared_a=False, shared_b=False):
+    return _r_p.bind(
+        a, b, d, terms=terms, d_a=d_a, d_b=d_b, d_d=d_d, d_col=d_col,
+        tile=tile, interpret=interpret, shared_a=shared_a, shared_b=shared_b,
+    )
+
+
+def _t_call(a, col, b, *, terms, d_a, d_col, d_b, d_out, tile, interpret,
+            shared_a, shared_b):
+    E = col.shape[0]
+    return pl.pallas_call(
+        functools.partial(_t_kernel, terms),
+        out_shape=jax.ShapeDtypeStruct((E, d_out), col.dtype),
+        grid=(E // tile,),
+        in_specs=[
+            _lane_spec(tile, d_a, shared_a),
+            pl.BlockSpec((tile, d_col), lambda i: (i, 0)),
+            _lane_spec(tile, d_b, shared_b),
+        ],
+        out_specs=pl.BlockSpec((tile, d_out), lambda i: (i, 0)),
+        interpret=interpret,
+    )(a, col, b)
+
+
+def _r_call(a, b, d, *, terms, d_a, d_b, d_d, d_col, tile, interpret,
+            shared_a, shared_b):
+    E = d.shape[0]
+    return pl.pallas_call(
+        functools.partial(_r_kernel, terms),
+        out_shape=jax.ShapeDtypeStruct((E, d_col), d.dtype),
+        grid=(E // tile,),
+        in_specs=[
+            _lane_spec(tile, d_a, shared_a),
+            _lane_spec(tile, d_b, shared_b),
+            pl.BlockSpec((tile, d_d), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d_col), lambda i: (i, 0)),
+        interpret=interpret,
+    )(a, b, d)
+
+
+def _t_abstract(a, col, b, *, d_out, **kw):
+    return jax.core.ShapedArray((col.shape[0], d_out), col.dtype)
+
+
+def _r_abstract(a, b, d, *, d_col, **kw):
+    return jax.core.ShapedArray((d.shape[0], d_col), d.dtype)
+
+
+_t_p.def_abstract_eval(_t_abstract)
+_r_p.def_abstract_eval(_r_abstract)
+_t_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _t_p))
+_r_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _r_p))
+mlir.register_lowering(_t_p, mlir.lower_fun(_t_call, multiple_results=False))
+mlir.register_lowering(_r_p, mlir.lower_fun(_r_call, multiple_results=False))
+
+
+def _perm_a(terms):  # swap a <-> out
+    return tuple(Term(t.out_off, t.col_off, t.b_off, t.a_off, t.mul, t.coeff) for t in terms)
+
+
+def _perm_b(terms):  # swap b <-> out
+    return tuple(Term(t.a_off, t.col_off, t.out_off, t.b_off, t.mul, t.coeff) for t in terms)
+
+
+def _t_jvp(primals, tangents, **params):
+    a, col, b = primals
+    da, dcol, db = tangents
+    out = t_apply(a, col, b, **params)
+    tan = None
+    def add(x, y):
+        return y if x is None else x + y
+    if type(da) is not ad.Zero:
+        tan = add(tan, t_apply(da, col, b, **params))
+    if type(dcol) is not ad.Zero:
+        tan = add(tan, t_apply(a, dcol, b, **params))
+    if type(db) is not ad.Zero:
+        tan = add(tan, t_apply(a, col, db, **params))
+    if tan is None:
+        tan = ad.Zero.from_primal_value(out)
+    return out, tan
+
+
+def _r_jvp(primals, tangents, **params):
+    a, b, d = primals
+    da, db, dd = tangents
+    out = r_apply(a, b, d, **params)
+    tan = None
+    def add(x, y):
+        return y if x is None else x + y
+    if type(da) is not ad.Zero:
+        tan = add(tan, r_apply(da, b, d, **params))
+    if type(db) is not ad.Zero:
+        tan = add(tan, r_apply(a, db, d, **params))
+    if type(dd) is not ad.Zero:
+        tan = add(tan, r_apply(a, b, dd, **params))
+    if tan is None:
+        tan = ad.Zero.from_primal_value(out)
+    return out, tan
+
+
+ad.primitive_jvps[_t_p] = _t_jvp
+ad.primitive_jvps[_r_p] = _r_jvp
+
+
+def _maybe_sum_shared(x, shared):
+    return jnp.sum(x, axis=0, keepdims=True) if shared else x
+
+
+def _t_transpose(ct, a, col, b, *, terms, d_a, d_col, d_b, d_out, tile,
+                 interpret, shared_a, shared_b):
+    if type(ct) is ad.Zero:
+        return None, None, None
+    ct_a = ct_col = ct_b = None
+    if ad.is_undefined_primal(a):
+        ct_a = t_apply(
+            ct, col, b, terms=_perm_a(terms), d_a=d_out, d_col=d_col, d_b=d_b,
+            d_out=d_a, tile=tile, interpret=interpret,
+            shared_a=False, shared_b=shared_b,
+        )
+        ct_a = _maybe_sum_shared(ct_a, shared_a)
+    if ad.is_undefined_primal(col):
+        ct_col = r_apply(
+            a, b, ct, terms=terms, d_a=d_a, d_b=d_b, d_d=d_out, d_col=d_col,
+            tile=tile, interpret=interpret, shared_a=shared_a, shared_b=shared_b,
+        )
+    if ad.is_undefined_primal(b):
+        ct_b = t_apply(
+            a, col, ct, terms=_perm_b(terms), d_a=d_a, d_col=d_col, d_b=d_out,
+            d_out=d_b, tile=tile, interpret=interpret,
+            shared_a=shared_a, shared_b=False,
+        )
+        ct_b = _maybe_sum_shared(ct_b, shared_b)
+    return ct_a, ct_col, ct_b
+
+
+def _r_transpose(ct, a, b, d, *, terms, d_a, d_b, d_d, d_col, tile,
+                 interpret, shared_a, shared_b):
+    # R(a, b, d)[j] = c * sum_u a[i]b[p]d[k]; ct is a column [E, d_col]
+    if type(ct) is ad.Zero:
+        return None, None, None
+    ct_a = ct_b = ct_d = None
+    if ad.is_undefined_primal(a):
+        # ct_a[i] += c * ct[j] * b[p] * d[k] -> T(b, ct, d) with a<->? formula
+        t = tuple(Term(x.b_off, x.col_off, x.out_off, x.a_off, x.mul, x.coeff) for x in terms)
+        ct_a = t_apply(
+            b, ct, d, terms=t, d_a=d_b, d_col=d_col, d_b=d_d, d_out=d_a,
+            tile=tile, interpret=interpret, shared_a=shared_b, shared_b=False,
+        )
+        ct_a = _maybe_sum_shared(ct_a, shared_a)
+    if ad.is_undefined_primal(b):
+        t = tuple(Term(x.a_off, x.col_off, x.out_off, x.b_off, x.mul, x.coeff) for x in terms)
+        ct_b = t_apply(
+            a, ct, d, terms=t, d_a=d_a, d_col=d_col, d_b=d_d, d_out=d_b,
+            tile=tile, interpret=interpret, shared_a=shared_a, shared_b=False,
+        )
+        ct_b = _maybe_sum_shared(ct_b, shared_b)
+    if ad.is_undefined_primal(d):
+        t = tuple(Term(x.a_off, x.col_off, x.b_off, x.out_off, x.mul, x.coeff) for x in terms)
+        ct_d = t_apply(
+            a, ct, b, terms=t, d_a=d_a, d_col=d_col, d_b=d_b, d_out=d_d,
+            tile=tile, interpret=interpret, shared_a=shared_a, shared_b=shared_b,
+        )
+    return ct_a, ct_b, ct_d
+
+
+ad.primitive_transposes[_t_p] = _t_transpose
+ad.primitive_transposes[_r_p] = _r_transpose
+
+
+def _plan_terms(tp: TensorProduct, fold_rescale: bool, eps: float = 1e-10) -> Tuple[Term, ...]:
+    in_offsets = [s.start for s in tp.irreps_in1.slices()]
+    sh_offsets = [s.start for s in tp.irreps_in2.slices()]
+    out_offsets = [s.start for s in tp.irreps_out.slices()]
+    terms: List[Term] = []
+    for idx, ins in enumerate(tp.instructions):
+        if ins.mode != "uvu" or tp.irreps_in2[ins.i_in2].mul != 1:
+            raise ValueError("pallas DTP kernel supports depthwise uvu with mul-1 SH")
+        mul = tp.irreps_in1[ins.i_in1].mul
+        C = tp._cg[idx] * (tp.slice_sqrt_k[ins.i_out] if fold_rescale else 1.0)
+        d1, d2, d3 = C.shape
+        for i in range(d1):
+            for j in range(d2):
+                for k in range(d3):
+                    c = float(C[i, j, k])
+                    if abs(c) < eps:
+                        continue
+                    terms.append(
+                        Term(
+                            a_off=in_offsets[ins.i_in1] + i * mul,
+                            col_off=sh_offsets[ins.i_in2] + j,
+                            b_off=tp._offsets[idx],
+                            out_off=out_offsets[ins.i_out] + k * mul,
+                            mul=mul,
+                            coeff=c,
+                        )
+                    )
+    return tuple(terms)
+
+
+class PallasDTP:
+    """Fused depthwise-TP: ``PallasDTP(plan)(x, sh, w)`` is semantically
+    identical to ``plan.apply(x, sh, w, scale_weights=True)`` (external raw
+    weights); with ``fold_rescale=False, shared_weights=True`` it matches
+    ``plan.apply(x, sh, w)`` for internal pre-scaled weights."""
+
+    def __init__(
+        self,
+        tp: TensorProduct,
+        tile: int = 128,
+        interpret: Optional[bool] = None,
+        fold_rescale: bool = True,
+        shared_weights: bool = False,
+    ):
+        self.tp = tp
+        self.tile = tile
+        self.shared_weights = shared_weights
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self._params = dict(
+            terms=_plan_terms(tp, fold_rescale),
+            d_a=tp.irreps_in1.dim,
+            d_col=tp.irreps_in2.dim,
+            d_b=tp.weight_numel,
+            d_out=tp.irreps_out.dim,
+            tile=tile,
+            interpret=interpret,
+            shared_a=False,
+            shared_b=shared_weights,
+        )
+
+    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        E = x.shape[0]
+        pad = (-E) % self.tile
+        if self.shared_weights and w.ndim == 1:
+            w = w[None, :]
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            sh = jnp.pad(sh, ((0, pad), (0, 0)))
+            if not self.shared_weights:
+                w = jnp.pad(w, ((0, pad), (0, 0)))
+        out = t_apply(x, sh, w, **self._params)
+        return out[:E] if pad else out

@@ -28,7 +28,7 @@ from ..core.irreps import Irrep, Irreps
 from ..core.spherical import spherical_harmonics_for_irreps
 from ..core.tensor_product import depthwise_tp
 from ..graph.batching import GraphsTuple
-from ..graph.radius_graph import EdgeList, edge_vectors, radius_graph
+from ..graph.radius_graph import EdgeList, edge_vectors, radius_graph, radius_graph_dense
 from ..graph.segment import degree, scaled_scatter_sum, segment_softmax, segment_sum
 from ..nn.activation import Activation, normalized_activation
 from ..nn.attention_utils import heads2vec, heads_irreps, vec2heads
@@ -332,9 +332,15 @@ class GraphAttentionTransformer(nn.Module):
     atomref: Optional[Tuple[float, ...]] = None
     use_attn_head: bool = False  # GraphAttention as output head (MD17 variants)
     attn_type: str = "mlp"  # 'mlp' (Equiformer) | 'dot' (ablation)
+    nodes_per_graph: int = 0  # >0: collate_dense layout, fast per-graph graph build
     remat: bool = False
 
     def build_graph(self, pos, batch, node_mask):
+        if self.nodes_per_graph > 0:
+            graphs = pos.shape[0] // self.nodes_per_graph
+            return radius_graph_dense(
+                pos, node_mask, graphs, self.max_radius, self.max_edges
+            )
         return radius_graph(pos, batch, node_mask, self.max_radius, self.max_edges)
 
     @nn.compact

@@ -101,9 +101,23 @@ class FCTPSwishGate(nn.Module):
         return gate(out)
 
 
+def _pallas_enabled() -> bool:
+    import os
+
+    env = os.environ.get("EQUIFORMER_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class DTPLayer(nn.Module):
     """Depthwise TP with either internal weights or externally supplied flat
-    per-edge weights; no bias (all reference DTP call sites use bias=False)."""
+    per-edge weights; no bias (all reference DTP call sites use bias=False).
+
+    On TPU the fused Pallas kernel (kernels/dtp_pallas.py) replaces the einsum
+    path (override with EQUIFORMER_TPU_PALLAS=0/1)."""
 
     irreps_node: Irreps
     irreps_edge: Irreps
@@ -118,6 +132,18 @@ class DTPLayer(nn.Module):
             self.w = self.param(
                 "w", _tp_weight_init(self.plan), (self.plan.weight_numel,)
             )
+        self._kernel = None
+        if _pallas_enabled():
+            try:
+                from ..kernels.dtp_pallas import PallasDTP
+
+                self._kernel = PallasDTP(
+                    self.plan,
+                    fold_rescale=not self.internal_weights,
+                    shared_weights=self.internal_weights,
+                )
+            except ValueError:
+                self._kernel = None  # unsupported plan shape -> einsum fallback
 
     @property
     def irreps_out(self) -> Irreps:
@@ -129,10 +155,13 @@ class DTPLayer(nn.Module):
 
     def __call__(self, node_on_edge, edge_attr, weights: Optional[jnp.ndarray] = None):
         if self.internal_weights:
-            return self.plan.apply(
-                node_on_edge, edge_attr, self.w.astype(node_on_edge.dtype)
-            )
-        # external raw weights (e.g. radial MLP output): fan-in scale applied here
+            w = self.w.astype(node_on_edge.dtype)
+            if self._kernel is not None:
+                return self._kernel(node_on_edge, edge_attr, w)
+            return self.plan.apply(node_on_edge, edge_attr, w)
+        # external raw weights (e.g. radial MLP output): fan-in scale folded in
+        if self._kernel is not None:
+            return self._kernel(node_on_edge, edge_attr, weights)
         return self.plan.apply(node_on_edge, edge_attr, weights, scale_weights=True)
 
 

@@ -112,3 +112,28 @@ def test_collate_padding():
     assert list(b.batch[:8]) == [0] * 5 + [1] * 3
     # padding nodes attached to last graph slot, masked out
     assert np.all(~b.node_mask[8:])
+
+
+def test_radius_graph_dense_matches_flat():
+    from equiformer_tpu.graph.batching import collate_dense
+    from equiformer_tpu.graph.radius_graph import radius_graph_dense
+
+    graphs = [
+        {"pos": RNG.normal(size=(n, 3)).astype(np.float32) * 1.5,
+         "species": np.zeros(n, np.int32), "y": 0.0}
+        for n in (5, 7, 4)
+    ]
+    b = collate_dense(graphs, max_nodes_per_graph=8)
+    flat = radius_graph(
+        jnp.asarray(b.pos), jnp.asarray(b.batch), jnp.asarray(b.node_mask), 2.5, 256
+    )
+    dense = radius_graph_dense(
+        jnp.asarray(b.pos), jnp.asarray(b.node_mask), 3, 2.5, 256
+    )
+    def edge_set(el):
+        return {
+            (int(s), int(d))
+            for s, d, m in zip(np.asarray(el.src), np.asarray(el.dst), np.asarray(el.mask))
+            if m
+        }
+    assert edge_set(flat) == edge_set(dense)
