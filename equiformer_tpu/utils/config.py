@@ -45,8 +45,8 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
             raise ValueError(f"override {ov!r} must be key=value")
         key, val = ov.split("=", 1)
         try:
-            val = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
+            val = yaml.safe_load(val)
+        except yaml.YAMLError:
             pass
         node = cfg
         parts = key.split(".")
