@@ -185,6 +185,20 @@ def main(args):
     eval_fn = jax.jit(eval_step)
     rng = jax.random.PRNGKey(1)
 
+    # preemption handling (analog of submitit Checkpointable + mark_preempting,
+    # main_oc20.py:33,81-88): on SIGTERM, checkpoint at the next step boundary
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread
+
     def validate(params):
         sums = {}
         for b in make_batches(val):
@@ -230,6 +244,11 @@ def main(args):
             for k in meters:
                 if k in m:
                     meters[k].update(float(m[k]))
+            if preempted["flag"]:
+                ckpt.save(int(state.step), state, metadata={"epoch": epoch - 1})
+                log.info("preempted: checkpointed at step %d", int(state.step))
+                ckpt.close()
+                return
         dt = time.perf_counter() - t0
         log.info("epoch %d: loss %.5f mae %.5f (%.1fs)", epoch,
                  meters["loss"].avg, meters["mae"].avg, dt)

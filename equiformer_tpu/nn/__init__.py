@@ -1,5 +1,5 @@
 from .activation import Activation, Gate, gate_for, irreps2gate, normalized_activation, smooth_leaky_relu
-from .attention_utils import heads2vec, heads_irreps, vec2heads
+from .attention_utils import concat_irreps, heads2vec, heads_irreps, vec2heads
 from .dropout import EquivariantDropout, EquivariantScalarsDropout, GraphDropPath
 from .linear import IrrepsLinear, ScalarMLP
 from .norms import (
@@ -7,6 +7,8 @@ from .norms import (
     EquivariantInstanceNorm,
     EquivariantLayerNorm,
     EquivariantLayerNormFast,
+    EquivariantLayerNormV3,
+    EquivariantLayerNormV4,
     get_norm_layer,
 )
 from .radial import (

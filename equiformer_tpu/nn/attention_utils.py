@@ -53,3 +53,38 @@ def heads_irreps(irreps_head: Irreps, num_heads: int) -> Irreps:
     irr = Irreps(irreps_head) * num_heads
     irr, _, _ = irr.sort_even_first()
     return irr.simplify()
+
+
+def concat_irreps(irreps_1, irreps_2, x1: jnp.ndarray, x2: jnp.ndarray):
+    """Irreps-aligned concatenation of two feature tensors: blocks of the same
+    (l, p) are placed adjacently so the result is sorted by (l, even-first).
+
+    Equivalent of the reference ConcatIrrepsTensor
+    (graph_attention_transformer.py:319-399).  Returns (features, irreps_out).
+    """
+    from ..core.irreps import Irreps
+
+    irreps_1, irreps_2 = Irreps(irreps_1), Irreps(irreps_2)
+    s1, s2 = irreps_1.slices(), irreps_2.slices()
+    lmax = max(irreps_1.lmax, irreps_2.lmax)
+    pieces = []
+    out = []
+    for l in range(lmax + 1):
+        for p in (1, -1):
+            # component-major blocks merge multiplicities on the lane axis,
+            # so gather all matching [., d, mul] views and concat on mul
+            views = []
+            total_mul = 0
+            for irr, sl, x in ((irreps_1, s1, x1), (irreps_2, s2, x2)):
+                for bi, (mul, ir) in enumerate(irr):
+                    if ir.l == l and ir.p == p:
+                        blk = x[..., sl[bi]]
+                        views.append(blk.reshape(blk.shape[:-1] + (ir.dim, mul)))
+                        total_mul += mul
+            if not views:
+                continue
+            merged = views[0] if len(views) == 1 else jnp.concatenate(views, axis=-1)
+            pieces.append(merged.reshape(merged.shape[:-2] + ((2 * l + 1) * total_mul,)))
+            out.append((total_mul, (l, p)))
+    out_irreps = Irreps(out)
+    return jnp.concatenate(pieces, axis=-1), out_irreps

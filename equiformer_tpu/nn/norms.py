@@ -178,6 +178,67 @@ class EquivariantGraphNorm(_GraphStatNorm):
     learnable_mean_shift: bool = True
 
 
+class EquivariantLayerNormV3(nn.Module):
+    """Layer norm variant with mean-centering for vectors of ALL degrees
+    (reference layer_norm.py:155-232); kept for API completeness — the models
+    use V2 (our EquivariantLayerNorm)."""
+
+    irreps: Irreps
+    eps: float = 1e-5
+    affine: bool = True
+    normalization: str = "component"
+    learnable_mean_shift: bool = False  # True -> V4 (layer_norm.py:235-325)
+
+    @nn.compact
+    def __call__(self, x, batch=None, node_mask=None, num_graphs=None):
+        irreps = Irreps(self.irreps)
+        in_dtype = x.dtype
+        x = x.astype(jnp.promote_types(in_dtype, jnp.float32))
+        num_features = irreps.num_irreps
+        num_scalar = sum(mi.mul for mi in irreps if mi.ir.is_scalar())
+        if self.affine:
+            weight = self.param("affine_weight", nn.initializers.ones, (num_features,))
+            bias = self.param("affine_bias", nn.initializers.zeros, (num_scalar,))
+        if self.learnable_mean_shift:
+            # V4 init: ones on scalars, zeros elsewhere
+            init = jnp.concatenate(
+                [
+                    (jnp.ones if mi.ir.is_scalar() else jnp.zeros)((mi.mul,))
+                    for mi in irreps
+                ]
+            )
+            mean_shift = self.param("mean_shift", lambda k, s: init, (num_features,))
+        iw = ib = ims = 0
+        pieces = []
+        for field, mul, ir in _blocks(x, irreps):
+            fmean = jnp.mean(field, axis=-1, keepdims=True)  # mean over copies
+            if self.learnable_mean_shift:
+                shift = mean_shift[ims : ims + mul]
+                ims += mul
+                field = field - fmean * shift
+            else:
+                field = field - fmean
+            if self.normalization == "norm":
+                fn = jnp.sum(field**2, axis=-2)
+            else:
+                fn = jnp.mean(field**2, axis=-2)
+            fn = jnp.mean(fn, axis=-1, keepdims=True)
+            fn = (fn + self.eps) ** -0.5
+            if self.affine:
+                fn = fn * weight[iw : iw + mul]
+                iw += mul
+            field = field * fn[..., None, :]
+            if self.affine and ir.is_scalar():
+                field = field + bias[ib : ib + mul]
+                ib += mul
+            pieces.append(field.reshape(field.shape[:-2] + (mul * ir.dim,)))
+        return jnp.concatenate(pieces, axis=-1).astype(in_dtype)
+
+
+class EquivariantLayerNormV4(EquivariantLayerNormV3):
+    learnable_mean_shift: bool = True
+
+
 def get_norm_layer(norm_type: Optional[str]):
     """Selector matching graph_attention_transformer.py:39-51."""
     if norm_type == "layer":

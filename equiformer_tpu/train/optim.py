@@ -91,6 +91,8 @@ def create_optimizer(
     grad_clip_norm: Optional[float] = None,
     opt_name: str = "adamw",
 ) -> optax.GradientTransformation:
+    # optimizer zoo mirroring the reference timm factory
+    # (optim_factory.py:63-175; ~15 optimizers, adamw default)
     if opt_name == "adamw":
         opt = optax.adamw(
             schedule, b1=beta1, b2=beta2, eps=eps,
@@ -98,8 +100,35 @@ def create_optimizer(
         )
     elif opt_name == "adam":
         opt = optax.adam(schedule, b1=beta1, b2=beta2, eps=eps)
-    elif opt_name == "sgd":
+    elif opt_name == "sgd" or opt_name == "nesterov":
         opt = optax.sgd(schedule, momentum=0.9, nesterov=True)
+    elif opt_name == "momentum":
+        opt = optax.sgd(schedule, momentum=0.9, nesterov=False)
+    elif opt_name == "rmsprop":
+        opt = optax.rmsprop(schedule, decay=0.9, eps=eps, momentum=0.9)
+    elif opt_name == "adabelief":
+        opt = optax.adabelief(schedule, b1=beta1, b2=beta2, eps=eps)
+    elif opt_name == "radam":
+        opt = optax.radam(schedule, b1=beta1, b2=beta2, eps=eps)
+    elif opt_name == "lamb":
+        opt = optax.lamb(
+            schedule, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, mask=no_weight_decay_mask,
+        )
+    elif opt_name == "lars":
+        opt = optax.lars(schedule, weight_decay=weight_decay)
+    elif opt_name == "fromage":
+        opt = optax.fromage(schedule)
+    elif opt_name == "adagrad":
+        opt = optax.adagrad(schedule, eps=eps)
+    elif opt_name == "adafactor":
+        opt = optax.adafactor(schedule)
+    elif opt_name == "novograd":
+        opt = optax.novograd(schedule, b1=beta1, b2=beta2, eps=eps,
+                             weight_decay=weight_decay)
+    elif opt_name == "lion":
+        opt = optax.lion(schedule, weight_decay=weight_decay,
+                         mask=no_weight_decay_mask)
     else:
         raise ValueError(f"unknown optimizer {opt_name}")
     if grad_clip_norm is not None:

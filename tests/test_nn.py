@@ -164,3 +164,34 @@ def test_separable_fctp_equivariance():
         sep.apply(params, jnp.asarray(transform(IRR, np.asarray(x), R)), sh_r, scal)
     )
     assert np.max(np.abs(out_r - transform(IRR, out, R))) < 1e-6
+
+
+def test_layer_norm_v3_v4_equivariance():
+    from equiformer_tpu.nn import EquivariantLayerNormV3, EquivariantLayerNormV4
+
+    for cls in (EquivariantLayerNormV3, EquivariantLayerNormV4):
+        ln = cls(IRR)
+        x = jnp.asarray(RNG.normal(size=(5, IRR.dim)))
+        params = ln.init(jax.random.PRNGKey(0), x)
+        _check_equivariant(lambda z: ln.apply(params, z), IRR, IRR, x, atol=1e-6)
+
+
+def test_concat_irreps_alignment():
+    from equiformer_tpu.nn import concat_irreps
+    from equiformer_tpu.core.rotations import random_rotation, transform
+
+    irr1 = Irreps("4x0e+2x1e")
+    irr2 = Irreps("3x0e+1x1e+1x2e")
+    x1 = jnp.asarray(RNG.normal(size=(3, irr1.dim)))
+    x2 = jnp.asarray(RNG.normal(size=(3, irr2.dim)))
+    out, irr_out = concat_irreps(irr1, irr2, x1, x2)
+    assert out.shape == (3, irr1.dim + irr2.dim)
+    assert str(irr_out) == "7x0e+3x1e+1x2e"
+    # equivariance of the concatenated layout
+    R = random_rotation(RNG)
+    o2, _ = concat_irreps(
+        irr1, irr2,
+        jnp.asarray(transform(irr1, np.asarray(x1), R)),
+        jnp.asarray(transform(irr2, np.asarray(x2), R)),
+    )
+    assert np.max(np.abs(np.asarray(o2) - transform(irr_out, np.asarray(out), R))) < 1e-8
