@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--remat", action="store_true", help="rematerialize blocks (saves memory, ~30%% slower)")
+    ap.add_argument("--bf16", action="store_true", help="bfloat16 feature compute")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +73,7 @@ def main():
         model = model_entrypoint("graph_attention_transformer_nonlinear_l2")(
             radius=5.0, num_basis=128, max_edges=edge_cap, remat=args.remat,
             nodes_per_graph=slots,
+            compute_dtype="bfloat16" if args.bf16 else None,
         )
 
     data = qm9_like_dataset(batch_size * 4, seed=0)

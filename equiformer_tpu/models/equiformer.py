@@ -333,6 +333,7 @@ class GraphAttentionTransformer(nn.Module):
     use_attn_head: bool = False  # GraphAttention as output head (MD17 variants)
     attn_type: str = "mlp"  # 'mlp' (Equiformer) | 'dot' (ablation)
     nodes_per_graph: int = 0  # >0: collate_dense layout, fast per-graph graph build
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; graph/SH/RBF stay fp32
     remat: bool = False
 
     def build_graph(self, pos, batch, node_mask):
@@ -355,11 +356,16 @@ class GraphAttentionTransformer(nn.Module):
         edge_vec, edge_len = edge_vectors(pos, edges)
         edge_sh = spherical_harmonics_for_irreps(Irreps(self.irreps_sh), edge_vec)
 
+        # geometry (graph, SH, RBF) is computed in the position dtype (fp32);
+        # network features optionally run in a lower compute dtype (bf16)
+        feat_dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else pos.dtype
+        rbf = make_rbf(self.basis_type, self.number_of_basis, self.max_radius)
+        edge_scalars = rbf(edge_len).astype(feat_dtype)
+        edge_sh = edge_sh.astype(feat_dtype)
+
         atom_emb, atom_onehot = NodeEmbedding(
             Irreps(self.irreps_node_embedding), self.max_atom_type, name="atom_embed"
-        )(graphs.species, dtype=pos.dtype)
-        rbf = make_rbf(self.basis_type, self.number_of_basis, self.max_radius)
-        edge_scalars = rbf(edge_len)
+        )(graphs.species, dtype=feat_dtype)
         fc = (self.number_of_basis,) + tuple(self.fc_neurons)
         edge_deg = EdgeDegreeEmbedding(
             Irreps(self.irreps_node_embedding),
@@ -369,7 +375,7 @@ class GraphAttentionTransformer(nn.Module):
             name="edge_deg_embed",
         )(edge_sh, edge_scalars, edges.src, edges.dst, edges.mask, num_nodes)
         node_features = atom_emb + edge_deg
-        node_attr = jnp.ones((num_nodes, 1), pos.dtype)
+        node_attr = jnp.ones((num_nodes, 1), feat_dtype)
 
         block_cls = TransBlock
         if self.remat:
@@ -442,6 +448,7 @@ class GraphAttentionTransformer(nn.Module):
             x = Activation(feat_irreps, ["silu"])(x)
             x = IrrepsLinear(feat_irreps, Irreps("1x0e"), name="head_lin2")(x)
 
+        x = x.astype(pos.dtype)  # accumulate the readout in fp32
         outputs = scaled_scatter_sum(
             x, batch, num_graphs, self.avg_num_nodes, mask=node_mask
         )  # [G, 1]

@@ -79,6 +79,7 @@ class ScalarMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = len(self.features)
+        compute_dtype = x.dtype  # keep the input precision (bf16-friendly)
         for i, f in enumerate(self.features):
             last = i == n - 1
             x = nn.Dense(
@@ -87,12 +88,15 @@ class ScalarMLP(nn.Module):
                 kernel_init=_torch_linear_init,
                 bias_init=_torch_bias_init,
                 param_dtype=self.param_dtype,
+                dtype=compute_dtype,
                 name=f"dense{i}",
             )(x)
             if not last:
                 if self.use_layer_norm:
-                    x = nn.LayerNorm(param_dtype=self.param_dtype, name=f"ln{i}")(x)
-                x = jnp.asarray(x)
+                    x = nn.LayerNorm(
+                        param_dtype=self.param_dtype, dtype=compute_dtype,
+                        name=f"ln{i}",
+                    )(x)
                 x = x * jnp.reciprocal(1.0 + jnp.exp(-x))  # SiLU
         return x
 
