@@ -337,14 +337,16 @@ class PallasDTP:
         interpret: Optional[bool] = None,
         fold_rescale: bool = True,
         shared_weights: bool = False,
+        first_order: bool = False,
     ):
         self.tp = tp
         self.tile = tile
         self.shared_weights = shared_weights
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        terms = _plan_terms(tp, fold_rescale)
         self._params = dict(
-            terms=_plan_terms(tp, fold_rescale),
+            terms=terms,
             d_a=tp.irreps_in1.dim,
             d_col=tp.irreps_in2.dim,
             d_b=tp.weight_numel,
@@ -354,6 +356,13 @@ class PallasDTP:
             shared_a=False,
             shared_b=shared_weights,
         )
+        self._first_order_fn = None
+        if first_order:
+            # fused single-kernel backward (first-order training only)
+            self._first_order_fn = make_first_order_dtp(
+                terms, tp.irreps_in1.dim, tp.irreps_in2.dim, tp.weight_numel,
+                tp.irreps_out.dim, tile, interpret, shared_weights,
+            )
 
     def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         E = x.shape[0]
@@ -365,5 +374,100 @@ class PallasDTP:
             sh = jnp.pad(sh, ((0, pad), (0, 0)))
             if not self.shared_weights:
                 w = jnp.pad(w, ((0, pad), (0, 0)))
-        out = t_apply(x, sh, w, **self._params)
+        if self._first_order_fn is not None:
+            out = self._first_order_fn(x, sh, w)
+        else:
+            out = t_apply(x, sh, w, **self._params)
         return out[:E] if pad else out
+
+
+# ------------------------------------------------- fused first-order backward
+# The primitive-composed backward (3 kernels) supports arbitrary-order AD but
+# re-reads the inputs three times.  For first-order-only training (QM9, OC20 —
+# no force gradients) this fused single-kernel backward computes dx, dsh, dw
+# in one pass over the edge tiles; select with PallasDTP(..., first_order=True).
+
+
+def _fused_bwd_kernel(terms, x_ref, sh_ref, w_ref, g_ref, dx_ref, dsh_ref, dw_ref):
+    dx_acc, dsh_acc, dw_acc = {}, {}, {}
+    for t in terms:
+        sh_col = sh_ref[:, t.col_off : t.col_off + 1]
+        x_tile = x_ref[:, t.a_off : t.a_off + t.mul]
+        w_tile = w_ref[:, t.b_off : t.b_off + t.mul]
+        g_tile = g_ref[:, t.out_off : t.out_off + t.mul]
+        gw = g_tile * w_tile
+        dx_acc[t.a_off] = dx_acc.get(t.a_off, 0.0) + (t.coeff * sh_col) * gw
+        dsh_acc[t.col_off] = dsh_acc.get(t.col_off, 0.0) + t.coeff * jnp.sum(
+            x_tile * gw, axis=1, keepdims=True
+        )
+        dw_acc[t.b_off] = dw_acc.get(t.b_off, 0.0) + (t.coeff * sh_col) * x_tile * g_tile
+    dx_ref[:] = jnp.zeros_like(dx_ref)
+    dsh_ref[:] = jnp.zeros_like(dsh_ref)
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+    for off, v in dx_acc.items():
+        dx_ref[:, off : off + v.shape[-1]] = v
+    for off, s in dsh_acc.items():
+        dsh_ref[:, off : off + 1] = s
+    for off, u in dw_acc.items():
+        dw_ref[:, off : off + u.shape[-1]] = u
+
+
+def make_first_order_dtp(terms, d_in, d_sh, d_w, d_out, tile, interpret,
+                         shared_w: bool):
+    w_spec = _lane_spec(tile, d_w, shared_w)
+
+    def fwd_call(x, sh, w):
+        E = sh.shape[0]
+        return pl.pallas_call(
+            functools.partial(_t_kernel, terms),
+            out_shape=jax.ShapeDtypeStruct((E, d_out), sh.dtype),
+            grid=(E // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, d_in), lambda i: (i, 0)),
+                pl.BlockSpec((tile, d_sh), lambda i: (i, 0)),
+                w_spec,
+            ],
+            out_specs=pl.BlockSpec((tile, d_out), lambda i: (i, 0)),
+            interpret=interpret,
+        )(x, sh, w)
+
+    def bwd_call(x, sh, w, g):
+        E = sh.shape[0]
+        return pl.pallas_call(
+            functools.partial(_fused_bwd_kernel, terms),
+            out_shape=(
+                jax.ShapeDtypeStruct((E, d_in), sh.dtype),
+                jax.ShapeDtypeStruct((E, d_sh), sh.dtype),
+                jax.ShapeDtypeStruct((E, d_w), sh.dtype),
+            ),
+            grid=(E // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, d_in), lambda i: (i, 0)),
+                pl.BlockSpec((tile, d_sh), lambda i: (i, 0)),
+                w_spec,
+                pl.BlockSpec((tile, d_out), lambda i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, d_in), lambda i: (i, 0)),
+                pl.BlockSpec((tile, d_sh), lambda i: (i, 0)),
+                pl.BlockSpec((tile, d_w), lambda i: (i, 0)),
+            ),
+            interpret=interpret,
+        )(x, sh, w, g)
+
+    @jax.custom_vjp
+    def dtp(x, sh, w):
+        return fwd_call(x, sh, w)
+
+    def f(x, sh, w):
+        return fwd_call(x, sh, w), (x, sh, w)
+
+    def b(res, g):
+        x, sh, w = res
+        dx, dsh, dw = bwd_call(x, sh, w, g)
+        if shared_w:
+            dw = jnp.sum(dw, axis=0, keepdims=True)
+        return dx, dsh, dw
+
+    dtp.defvjp(f, b)
+    return dtp

@@ -62,6 +62,7 @@ class GraphAttention(nn.Module):
     nonlinear_message: bool = False
     alpha_drop: float = 0.1
     proj_drop: float = 0.1
+    higher_order_grads: bool = True
 
     def setup(self):
         irreps_in = Irreps(self.irreps_node_input)
@@ -85,6 +86,7 @@ class GraphAttention(nn.Module):
                 pre, Irreps(self.irreps_edge_attr), pre,
                 fc_neurons=self.fc_neurons, use_activation=True,
                 norm_layer=None, internal_weights=False, name="sep_act",
+                higher_order_grads=self.higher_order_grads,
             )
             dtp_plan = depthwise_tp(pre, Irreps(self.irreps_edge_attr), pre)
             self.sep_alpha = IrrepsLinear(dtp_plan.irreps_out, irreps_alpha, name="sep_alpha")
@@ -92,12 +94,14 @@ class GraphAttention(nn.Module):
                 pre, Irreps(self.irreps_edge_attr), irreps_attn_heads,
                 fc_neurons=None, use_activation=False, norm_layer=None,
                 internal_weights=True, name="sep_value",
+                higher_order_grads=self.higher_order_grads,
             )
         else:
             self.sep = SeparableFCTP(
                 pre, Irreps(self.irreps_edge_attr), irreps_attn_all,
                 fc_neurons=self.fc_neurons, use_activation=False,
                 norm_layer=None, internal_weights=False, name="sep",
+                higher_order_grads=self.higher_order_grads,
             )
 
         self.alpha_act = normalized_activation("smooth_leaky_relu:0.2")
@@ -215,6 +219,7 @@ class TransBlock(nn.Module):
     norm_layer: str = "layer"
     attn_type: str = "mlp"  # 'mlp' | 'dot'
     avg_degree: float = 1.0
+    higher_order_grads: bool = True
 
     @nn.compact
     def __call__(
@@ -250,6 +255,7 @@ class TransBlock(nn.Module):
                 nonlinear_message=self.nonlinear_message,
                 alpha_drop=self.alpha_drop,
                 proj_drop=self.proj_drop,
+                higher_order_grads=self.higher_order_grads,
                 name="ga",
             )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
         elif self.attn_type == "dot":
@@ -334,6 +340,7 @@ class GraphAttentionTransformer(nn.Module):
     attn_type: str = "mlp"  # 'mlp' (Equiformer) | 'dot' (ablation)
     nodes_per_graph: int = 0  # >0: collate_dense layout, fast per-graph graph build
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; graph/SH/RBF stay fp32
+    higher_order_grads: bool = True  # False enables the fused 1st-order TP bwd
     remat: bool = False
 
     def build_graph(self, pos, batch, node_mask):
@@ -372,6 +379,7 @@ class GraphAttentionTransformer(nn.Module):
             Irreps(self.irreps_sh),
             fc,
             self.avg_degree,
+            higher_order_grads=self.higher_order_grads,
             name="edge_deg_embed",
         )(edge_sh, edge_scalars, edges.src, edges.dst, edges.mask, num_nodes)
         node_features = atom_emb + edge_deg
@@ -405,6 +413,7 @@ class GraphAttentionTransformer(nn.Module):
                 norm_layer=self.norm_layer,
                 attn_type=self.attn_type,
                 avg_degree=self.avg_degree,
+                higher_order_grads=self.higher_order_grads,
                 name=f"block_{i}",
             )(
                 node_features,
@@ -440,6 +449,7 @@ class GraphAttentionTransformer(nn.Module):
                 nonlinear_message=self.nonlinear_message,
                 alpha_drop=self.alpha_drop,
                 proj_drop=self.proj_drop,
+                higher_order_grads=self.higher_order_grads,
                 name="attn_head",
             )(node_features, node_attr, edges, edge_sh, edge_scalars,
               deterministic=deterministic)

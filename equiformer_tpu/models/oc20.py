@@ -75,6 +75,7 @@ class GraphAttentionTransformerOC20(nn.Module):
     avg_num_nodes: float = _AVG_NUM_NODES
     avg_degree: float = _AVG_DEGREE
     attn_type: str = "mlp"
+    higher_order_grads: bool = False  # IS2RE never differentiates through pos
     remat: bool = False
 
     @nn.compact
@@ -126,6 +127,7 @@ class GraphAttentionTransformerOC20(nn.Module):
 
         edge_deg = EdgeDegreeEmbedding(
             emb_irreps, Irreps(self.irreps_sh), fc, self.avg_degree,
+            higher_order_grads=self.higher_order_grads,
             name="edge_deg_embed",
         )(edge_sh, edge_scalars, edges.src, edges.dst, edges.mask, num_nodes)
         node_features = atom_emb + tag_emb + edge_deg
@@ -164,6 +166,7 @@ class GraphAttentionTransformerOC20(nn.Module):
                 norm_layer=self.norm_layer,
                 attn_type=self.attn_type,
                 avg_degree=self.avg_degree,
+                higher_order_grads=self.higher_order_grads,
                 name=f"block_{i}",
             )(
                 node_features, node_attr, edges, edge_sh, edge_scalars,
@@ -198,6 +201,7 @@ class GraphAttentionTransformerOC20(nn.Module):
                 nonlinear_message=self.nonlinear_message,
                 alpha_drop=self.alpha_drop if self.auxiliary_head_dropout else 0.0,
                 proj_drop=0.0,
+                higher_order_grads=self.higher_order_grads,
                 name="attn_head",
             )(outputs, node_attr, edges, edge_sh, edge_scalars,
               deterministic=deterministic)
@@ -237,6 +241,7 @@ class GraphAttentionTransformerOC20(nn.Module):
                 nonlinear_message=self.nonlinear_message,
                 alpha_drop=self.alpha_drop if self.auxiliary_head_dropout else 0.0,
                 proj_drop=0.0,
+                higher_order_grads=self.higher_order_grads,
                 name="auxiliary_head",
             )(node_features, node_attr, edges, edge_sh, edge_scalars,
               deterministic=deterministic)

@@ -35,6 +35,7 @@ def _gat(radius, num_basis, *, nonlinear, basis="gaussian", alpha_drop=0.2,
         out_drop=0.0,
         drop_path_rate=0.0,
         max_atom_type=5,
+        higher_order_grads=False,  # QM9 training never differentiates through pos
         **kwargs,
     )
 

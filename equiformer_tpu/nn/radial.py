@@ -49,7 +49,7 @@ class RadialProfile(nn.Module):
                 ),
                 (self.features[-1],),
             )
-            out = out + offset
+            out = out + offset.astype(out.dtype)
         return out
 
 

@@ -123,6 +123,7 @@ class DTPLayer(nn.Module):
     irreps_edge: Irreps
     irreps_target: Irreps
     internal_weights: bool = False
+    higher_order_grads: bool = True  # False -> fused single-kernel backward
 
     def setup(self):
         self.plan = depthwise_tp(
@@ -141,6 +142,7 @@ class DTPLayer(nn.Module):
                     self.plan,
                     fold_rescale=not self.internal_weights,
                     shared_weights=self.internal_weights,
+                    first_order=not self.higher_order_grads,
                 )
             except ValueError:
                 self._kernel = None  # unsupported plan shape -> einsum fallback
@@ -175,6 +177,7 @@ class SeparableFCTP(nn.Module):
     use_activation: bool = False
     norm_layer: Optional[str] = None
     internal_weights: bool = False
+    higher_order_grads: bool = True
 
     def setup(self):
         irreps_out = Irreps(self.irreps_out)
@@ -183,6 +186,7 @@ class SeparableFCTP(nn.Module):
             Irreps(self.irreps_edge),
             irreps_out,
             internal_weights=self.internal_weights,
+            higher_order_grads=self.higher_order_grads,
         )
         plan = depthwise_tp(
             Irreps(self.irreps_node), Irreps(self.irreps_edge), irreps_out
@@ -269,12 +273,14 @@ class EdgeDegreeEmbedding(nn.Module):
     irreps_edge: Irreps
     fc_neurons: Tuple[int, ...]
     avg_degree: float
+    higher_order_grads: bool = True
 
     def setup(self):
         irreps_out = Irreps(self.irreps_out)
         self.exp = IrrepsLinear(Irreps("1x0e"), irreps_out, name="exp")
         self.dw = DTPLayer(
-            irreps_out, Irreps(self.irreps_edge), irreps_out, internal_weights=False
+            irreps_out, Irreps(self.irreps_edge), irreps_out, internal_weights=False,
+            higher_order_grads=self.higher_order_grads,
         )
         plan = depthwise_tp(irreps_out, Irreps(self.irreps_edge), irreps_out)
         self.rad = RadialProfile(features=tuple(self.fc_neurons) + (plan.weight_numel,))

@@ -162,3 +162,15 @@ def test_dot_product_attention_model():
         radius=5.0, num_basis=8, max_edges=128
     )
     assert m.attn_type == "dot"
+
+
+def test_bf16_compute_dtype():
+    model = _tiny_model(compute_dtype="bfloat16", alpha_drop=0.0, proj_drop=0.0,
+                        drop_path_rate=0.0)
+    b = _batch()
+    import dataclasses
+    b = dataclasses.replace(b, pos=jnp.asarray(np.asarray(b.pos), jnp.float32))
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    out = model.apply(params, b, deterministic=True)
+    assert out.dtype == jnp.float32  # readout promoted back
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -218,3 +218,34 @@ def test_noisy_nodes_only_moves_tagged_atoms():
     moved = np.abs(np.asarray(b2.pos) - np.asarray(b.pos)).sum(-1) > 0
     tags = np.asarray(b.extras["tags"])
     assert not np.any(moved[(tags == 0) | ~np.asarray(b.node_mask)])
+
+
+def test_dp_attention_oc20_forward():
+    model = model_entrypoint("dp_attention_transformer_oc20")(
+        irreps_node_embedding=Irreps("16x0e+8x1e"),
+        num_layers=1,
+        irreps_sh=Irreps("1x0e+1x1e"),
+        number_of_basis=8,
+        fc_neurons=(8,),
+        irreps_feature=Irreps("32x0e"),
+        irreps_head=Irreps("4x0e+2x1e"),
+        num_heads=2,
+        irreps_mlp_mid=Irreps("16x0e+8x1e"),
+        max_neighbors=8,
+    )
+    assert model.attn_type == "dot"
+    b = _oc20_batch()
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    e = model.apply(params, b, deterministic=True)
+    assert np.all(np.isfinite(np.asarray(e)))
+
+
+def test_trainer_registry():
+    from equiformer_tpu.train.registry import get
+
+    assert get("logger", "file") is not None
+    assert get("dataset", "lmdb_v2") is not None
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get("trainer", "nope")

@@ -103,3 +103,31 @@ def test_double_backward_through_kernel():
 
     g2r = jax.grad(force_norm_ref)(x)
     assert float(jnp.max(jnp.abs(g2 - g2r))) < 1e-10
+
+
+def test_first_order_fused_backward_matches():
+    tp, x, sh = _setup()
+    w = jnp.asarray(RNG.normal(size=(x.shape[0], tp.weight_numel)))
+    k1 = PallasDTP(tp, tile=8, interpret=True, first_order=True)
+    kN = PallasDTP(tp, tile=8, interpret=True)
+    assert float(jnp.max(jnp.abs(k1(x, sh, w) - kN(x, sh, w)))) < 1e-12
+
+    def loss(fn):
+        return jax.grad(
+            lambda x, sh, w: jnp.sum(jnp.sin(fn(x, sh, w))), argnums=(0, 1, 2)
+        )(x, sh, w)
+
+    for a, b in zip(loss(k1), loss(kN)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-12
+
+
+def test_first_order_fused_shared_weights():
+    tp, x, sh = _setup()
+    w = jnp.asarray(RNG.normal(size=(tp.weight_numel,)))
+    k1 = PallasDTP(tp, tile=8, interpret=True, fold_rescale=False,
+                   shared_weights=True, first_order=True)
+    ref = tp.apply(x, sh, w)
+    assert float(jnp.max(jnp.abs(k1(x, sh, w) - ref))) < 1e-12
+    g1 = jax.grad(lambda w: jnp.sum(jnp.cos(k1(x, sh, w))))(w)
+    gr = jax.grad(lambda w: jnp.sum(jnp.cos(tp.apply(x, sh, w))))(w)
+    assert float(jnp.max(jnp.abs(g1 - gr))) < 1e-12
