@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--remat", action="store_true", help="rematerialize blocks (saves memory, ~30%% slower)")
-    ap.add_argument("--bf16", action="store_true", help="bfloat16 feature compute")
+    ap.add_argument("--fp32", action="store_true",
+                    help="full fp32 features (default bf16, matching the reference's AMP training)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +74,7 @@ def main():
         model = model_entrypoint("graph_attention_transformer_nonlinear_l2")(
             radius=5.0, num_basis=128, max_edges=edge_cap, remat=args.remat,
             nodes_per_graph=slots,
-            compute_dtype="bfloat16" if args.bf16 else None,
+            compute_dtype=None if args.fp32 else "bfloat16",
         )
 
     data = qm9_like_dataset(batch_size * 4, seed=0)
@@ -81,7 +82,10 @@ def main():
         data, batch_size=batch_size, node_capacity=node_cap, shuffle=False,
         dense_slots=slots,
     )
-    batches = list(loader)
+    import jax.tree_util as jtu
+
+    # device-resident batches: measure the device step, not host conversion
+    batches = [jtu.tree_map(jnp.asarray, b) for b in loader]
     batch = batches[0]
 
     params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
@@ -96,14 +100,18 @@ def main():
     for i in range(args.warmup):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batches[i % len(batches)], sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # true sync (see note below)
 
     n_steps = 5 if args.smoke else args.steps
+    # NOTE: on the axon remote backend jax.block_until_ready does NOT imply
+    # execution completed; a host materialization (float()) is the only true
+    # sync.  Fetch every 10 steps so the tunnel RTT (~100ms) amortizes to <5%%.
     t0 = time.perf_counter()
     for i in range(n_steps):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batches[i % len(batches)], sub)
-    jax.block_until_ready(metrics["loss"])
+        if (i + 1) % 10 == 0 or i == n_steps - 1:
+            float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     graphs_per_sec = batch_size * n_steps / dt

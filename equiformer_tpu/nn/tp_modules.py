@@ -138,11 +138,20 @@ class DTPLayer(nn.Module):
             try:
                 from ..kernels.dtp_pallas import PallasDTP
 
+                import os
+
+                # the fused single-kernel backward measured *slower* than the
+                # composed primitive backward on v5e (VMEM pressure breaks
+                # pipelining) — keep it opt-in
+                fused = (
+                    not self.higher_order_grads
+                    and os.environ.get("EQUIFORMER_TPU_FUSED_BWD", "0") == "1"
+                )
                 self._kernel = PallasDTP(
                     self.plan,
                     fold_rescale=not self.internal_weights,
                     shared_weights=self.internal_weights,
-                    first_order=not self.higher_order_grads,
+                    first_order=fused,
                 )
             except ValueError:
                 self._kernel = None  # unsupported plan shape -> einsum fallback
