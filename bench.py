@@ -3,14 +3,20 @@
 Runs the flagship graph_attention_transformer_nonlinear_l2 full training step
 (forward + backward + AdamW + EMA, alpha dropout active) on synthetic batches
 with QM9 statistics (avg 18 atoms, r=5A radius graphs), batch 128 — the
-reference training configuration (main_qm9.py defaults).
+reference training configuration (main_qm9.py defaults).  Features run in
+bfloat16 by default (the analog of the reference's AMP training,
+engine.py:58-81); pass --fp32 for full precision.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing protocol: the remote-TPU backend's block_until_ready does not imply
+execution completed, so the loop host-materializes the loss every 10 steps
+(true sync; ~100ms tunnel RTT amortized to <5%).
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md); we use
-an estimated 400 graphs/sec for PyTorch Equiformer QM9 training on one A100
-(batch 128, ~3.5M params, e3nn TPs) as the denominator — the BASELINE.json
-target of 3x then corresponds to vs_baseline >= 3.0.
+an estimated 400 graphs/sec for PyTorch Equiformer QM9 AMP training on one
+A100 (batch 128, ~3.5M params, e3nn TPs) as the denominator — the
+BASELINE.json target of 3x then corresponds to vs_baseline >= 3.0.
 """
 
 import argparse

@@ -44,6 +44,8 @@ def get_args():
     p.add_argument("--denoising-pos-prob", type=float, default=0.5)
     p.add_argument("--denoising-corrupt-ratio", type=float, default=None)
     p.add_argument("--use-denoising-pos-weight-linear-decay", action="store_true")
+    p.add_argument("--config-yml", type=str, default=None,
+                   help="YAML with model kwargs (md17/configs analog)")
     p.set_defaults(
         model_name="graph_attention_transformer_nonlinear_exp_l2_md17",
         batch_size=8, eval_batch_size=24, epochs=1000,
@@ -76,12 +78,22 @@ def main(args):
     node_cap = ((args.batch_size * n_atoms + 127) // 128) * 128
     edge_cap = ((node_cap * (n_atoms + 1) + 127) // 128) * 128
 
+    model_kwargs = {}
+    if args.config_yml:
+        from ..utils.config import build_config
+        from ..core.irreps import Irreps as _I
+
+        ycfg = build_config(args.config_yml).get("model", {})
+        for k, v in ycfg.items():
+            model_kwargs[k] = _I(v) if isinstance(v, str) and ("x0e" in v or "x1" in v or "x2" in v or "x3" in v) else v
+        if "fc_neurons" in model_kwargs:
+            model_kwargs["fc_neurons"] = tuple(model_kwargs["fc_neurons"])
     if args.use_dens:
-        model = model_entrypoint("equiformer_md17_dens")(max_edges=edge_cap)
+        model = model_entrypoint("equiformer_md17_dens")(max_edges=edge_cap, **model_kwargs)
     else:
         model = model_entrypoint(args.model_name)(
             radius=args.radius, num_basis=args.num_basis, max_edges=edge_cap,
-            remat=True,
+            remat=True, **model_kwargs,
         )
     train_loader = GraphLoader(
         train, args.batch_size, node_cap, seed=args.seed, with_forces=True

@@ -16,14 +16,39 @@ def compute_stats(
     graphs: Sequence[Dict],
     radius: float,
     max_neighbors: Optional[int] = None,
-    cells: bool = False,
+    use_pbc: bool = False,
+    n_rep: int = 1,
 ) -> Dict[str, float]:
+    """avg nodes/edges/degree; with ``use_pbc`` the per-atom neighbor count
+    includes lattice images within +-n_rep cells (graphs need a 'cell' key),
+    the OC20 compute_stats semantics (base_trainer_v2.py:594-648)."""
     total_nodes = 0
     total_edges = 0
     n_graphs = 0
     for g in graphs:
         pos = np.asarray(g["pos"], np.float64)
         n = len(pos)
+        if use_pbc:
+            import itertools
+
+            cell = np.asarray(g["cell"], np.float64)
+            offs = np.array(
+                list(itertools.product(range(-n_rep, n_rep + 1), repeat=3)), np.float64
+            ) @ cell  # [C, 3]
+            diff = pos[:, None, None, :] - pos[None, :, None, :] - offs[None, None]
+            d_img = np.linalg.norm(diff, axis=-1)  # [n, n, C]
+            within = d_img < radius
+            # exclude self at the zero offset image
+            center = np.all(np.abs(offs) < 1e-12, axis=1)
+            ci = int(np.argmax(center))
+            within[np.arange(n), np.arange(n), ci] = False
+            deg = within.sum(axis=(1, 2))
+            if max_neighbors is not None:
+                deg = np.minimum(deg, max_neighbors)
+            total_nodes += n
+            total_edges += int(deg.sum())
+            n_graphs += 1
+            continue
         d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
         adj = (d < radius) & ~np.eye(n, dtype=bool)
         if max_neighbors is not None:

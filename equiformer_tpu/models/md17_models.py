@@ -57,7 +57,12 @@ def _md17(radius, num_basis, *, nonlinear, basis="gaussian", alpha_drop=0.2,
           irreps_head="32x0e+16x1e+8x2e",
           irreps_mlp_mid="384x0e+192x1e+96x2e",
           use_attn_head=False,
+          irreps_in=None, task_mean=None, task_std=None, atomref=None,  # ref-compat
           **kwargs):
+    if task_mean is not None:
+        kwargs.setdefault("task_mean", float(task_mean))
+    if task_std is not None:
+        kwargs.setdefault("task_std", float(task_std))
     return GraphAttentionTransformer(
         irreps_node_embedding=Irreps(irreps_node_embedding),
         num_layers=6,

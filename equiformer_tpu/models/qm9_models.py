@@ -3,6 +3,8 @@ and dp_attention_transformer.py:416-432 registry surface)."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..core.irreps import Irreps
 from .equiformer import GraphAttentionTransformer
 from .registry import register_model
@@ -13,7 +15,15 @@ def _gat(radius, num_basis, *, nonlinear, basis="gaussian", alpha_drop=0.2,
          irreps_sh="1x0e+1x1e+1x2e",
          irreps_head="32x0e+16x1e+8x2e",
          irreps_mlp_mid="384x0e+192x1e+96x2e",
+         irreps_in=None,  # reference signature compat ('5x0e' one-hot input)
+         task_mean=None, task_std=None, atomref=None,
          **kwargs):
+    if task_mean is not None:
+        kwargs.setdefault("task_mean", float(task_mean))
+    if task_std is not None:
+        kwargs.setdefault("task_std", float(task_std))
+    if atomref is not None:
+        kwargs.setdefault("atomref", tuple(float(a) for a in np.asarray(atomref).ravel()))
     return GraphAttentionTransformer(
         irreps_node_embedding=Irreps(irreps_node_embedding),
         num_layers=6,

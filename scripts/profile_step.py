@@ -11,15 +11,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=10, warmup=2):
+_RTT = None
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
+def _measure_rtt():
+    global _RTT
+    if _RTT is None:
+        x = jnp.zeros(())
+        _sync(x + 1.0)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _sync(x + 1.0)
+        _RTT = (time.perf_counter() - t0) / 5
+    return _RTT
+
+
+def timeit(fn, *args, n=20, warmup=2):
+    """True-sync timing on the axon remote backend: block_until_ready does not
+    imply completion there, so materialize a scalar on host and subtract the
+    measured tunnel RTT (amortized over n calls)."""
+    rtt = _measure_rtt()
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000  # ms
+    _sync(out)
+    return max((time.perf_counter() - t0 - rtt) / n, 0.0) * 1000  # ms
 
 
 def main():

@@ -174,3 +174,19 @@ def test_bf16_compute_dtype():
     out = model.apply(params, b, deterministic=True)
     assert out.dtype == jnp.float32  # readout promoted back
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_e3_variant_inversion_invariance():
+    """The E(3) variant must be invariant under spatial inversion (parity)."""
+    import dataclasses
+
+    model = model_entrypoint("graph_attention_transformer_nonlinear_l2_e3")(
+        radius=2.5, num_basis=8, max_edges=256
+    )
+    object.__setattr__(model, "num_layers", 1)
+    b = _batch()
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    out = np.asarray(model.apply(params, b, deterministic=True))
+    b_inv = dataclasses.replace(b, pos=-b.pos)
+    out_inv = np.asarray(model.apply(params, b_inv, deterministic=True))
+    assert np.max(np.abs(out - out_inv)) < 1e-7
