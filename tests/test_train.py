@@ -125,3 +125,44 @@ def test_loader_sharding_partitions():
     l0 = GraphLoader(data, batch_size=4, shuffle=False, num_shards=2, shard_index=0)
     l1 = GraphLoader(data, batch_size=4, shuffle=False, num_shards=2, shard_index=1)
     assert len(l0) == len(l1) == 5
+
+
+def test_data_parallel_matches_single_device():
+    """DP over 8 devices with pmean'd grads must produce the same update as a
+    single-device step on the concatenated batch (the DDP contract)."""
+    import dataclasses
+
+    # ample edge capacity so neither the big batch nor the shards truncate
+    model = dataclasses.replace(_tiny_model(), max_edges=16384)
+    data = qm9_like_dataset(32, seed=9)
+    # 8 per-device batches of 4 graphs
+    loader = GraphLoader(data, batch_size=4, shuffle=False, dense_slots=32)
+    dev_batches = list(loader)
+    # one big batch of 32 graphs with identical per-graph padding
+    big_loader = GraphLoader(data, batch_size=32, shuffle=False, dense_slots=32)
+    big = next(iter(big_loader))
+
+    params = model.init(jax.random.PRNGKey(0), dev_batches[0], deterministic=True)
+    opt = create_optimizer(cosine_warmup_schedule(1e-3, 5, 100), weight_decay=0.0)
+
+    # single device on the big batch
+    step1, _ = make_qm9_steps(model, opt, 0.0, 1.0, "l1", ema_decay=None)
+    s1 = TrainState.create(params, opt, use_ema=False)
+    s1, m1 = jax.jit(step1)(s1, big, jax.random.PRNGKey(3))
+
+    # 8-way DP; per-device losses averaged -> same mean loss, same mean grads
+    mesh = make_mesh()
+    stacked = shard_batch(stack_batches(dev_batches), mesh)
+    step8, _ = make_qm9_steps(model, opt, 0.0, 1.0, "l1", ema_decay=None,
+                              pmean_axis="dp")
+    s8 = TrainState.create(params, opt, use_ema=False)
+    # NOTE: dropout rng differs per device; use deterministic-equivalent model
+    # (alpha_drop=0 in _tiny_model), so only data partitioning matters.
+    pstep = make_parallel_train_step(step8, mesh, donate=False)
+    s8, m8 = pstep(s8, stacked, jax.random.PRNGKey(3))
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s8.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
