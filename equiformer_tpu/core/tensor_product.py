@@ -227,6 +227,14 @@ class TensorProduct:
                 # this path is a pure (per-irrep) matmul that lands on the MXU.
                 scal = v[..., 0, :]  # [..., mul2]
                 c = float(cg_np[0, 0, 0])
+                if v.shape[-1] == 1:
+                    # single scalar copy (the constant '1x0e' node attr): one
+                    # clean [.., d, mul_in] x [mul_in, mul_out] matmul scaled
+                    # by the scalar — the FFN/linear-shortcut hot path.
+                    W = w[..., :, 0, :]  # [(..,) mul1, mul_out]
+                    eq = "...iu,...uw->...iw" if w.ndim > 3 else "...iu,uw->...iw"
+                    out = jnp.einsum(eq, u, W)
+                    return out * (c * scal)[..., None, :]
                 tmp = jnp.einsum("...iu,...v->...iuv", u, scal) * c
                 eq = "...iuv,...uvw->...iw" if w.ndim > 3 else "...iuv,uvw->...iw"
                 return jnp.einsum(eq, tmp, w)
