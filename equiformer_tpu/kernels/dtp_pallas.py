@@ -52,11 +52,12 @@ def _group(terms: Sequence[Term]):
 
 
 def _t_kernel(terms, a_ref, col_ref, b_ref, out_ref):
+    cols = col_ref[:]  # hoist: one VMEM read, per-term value slices are free
     out_acc = {}
     for (out_off, b_off, mul), ts in _group(terms).items():
         acc = None
         for t in ts:
-            col = col_ref[:, t.col_off : t.col_off + 1]
+            col = cols[:, t.col_off : t.col_off + 1]
             a = a_ref[:, t.a_off : t.a_off + t.mul]
             v = (t.coeff * col) * a
             acc = v if acc is None else acc + v
@@ -471,3 +472,306 @@ def make_first_order_dtp(terms, d_in, d_sh, d_w, d_out, tile, interpret,
 
     dtp.defvjp(f, b)
     return dtp
+
+
+# ------------------------------------------------------------- lane packing
+# For mul < 128 blocks the [T, mul] FMA tiles use only mul/128 of the vector
+# lanes.  PackedPallasDTP splits the plan into mul-groups and packs
+# p = 128 // mul edges side-by-side in each lane row (a pure jnp
+# reshape/transpose outside the primitives, so autodiff passes through), so
+# every kernel FMA runs at full 128-lane width.  The uvu depthwise structure
+# makes groups closed: an instruction's input block, weights and output block
+# all share the same multiplicity.
+
+
+def _pack_factor(mul: int) -> int:
+    return 128 // mul if (mul < 128 and 128 % mul == 0) else 1
+
+
+def _pack_blocks(x, blocks, p):
+    """x [E, sum(d*mul)] with the given (offset, d, mul) blocks -> [E/p, sum(d*mul*p)].
+
+    Each block [E, d, mul] becomes [E/p, d, p*mul] (p edges side by side).
+    For p == 1 this still slices out and concatenates the group's blocks."""
+    E = x.shape[0]
+    pieces = []
+    for off, d, mul in blocks:
+        blk = x[:, off : off + d * mul].reshape(E // p, p, d, mul)
+        blk = jnp.transpose(blk, (0, 2, 1, 3)).reshape(E // p, d * p * mul)
+        pieces.append(blk)
+    return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
+
+
+def _unpack_blocks(y, blocks, p, E):
+    pieces = []
+    off_packed = 0
+    for off, d, mul in blocks:
+        blk = y[:, off_packed : off_packed + d * p * mul]
+        blk = blk.reshape(E // p, d, p, mul)
+        blk = jnp.transpose(blk, (0, 2, 1, 3)).reshape(E, d * mul)
+        pieces.append(blk)
+        off_packed += d * p * mul
+    return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
+
+
+def _pack_cols(cols, mul, p):
+    """[E, L] -> [E/p, L*128] with col value repeated per copy of its edge."""
+    E, L = cols.shape
+    rep = jnp.broadcast_to(cols[:, :, None], (E, L, mul))
+    rep = rep.reshape(E // p, p, L, mul)
+    rep = jnp.transpose(rep, (0, 2, 1, 3)).reshape(E // p, L * p * mul)
+    return rep
+
+
+class PackedPallasDTP:
+    """Lane-packed depthwise TP; same semantics as PallasDTP (external raw
+    weights, fan-in rescale folded)."""
+
+    def __init__(self, tp: TensorProduct, tile_rows: int = 128,
+                 interpret: Optional[bool] = None):
+        self.tp = tp
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self.tile_rows = tile_rows
+        base_terms = _plan_terms(tp, fold_rescale=True)
+
+        in_slices = tp.irreps_in1.slices()
+        out_slices = tp.irreps_out.slices()
+        # group instructions by multiplicity
+        groups = {}
+        for idx, ins in enumerate(tp.instructions):
+            mul = tp.irreps_in1[ins.i_in1].mul
+            groups.setdefault(mul, []).append(idx)
+
+        self.groups = []
+        L = tp.irreps_in2.dim
+        for mul, idxs in sorted(groups.items()):
+            p = _pack_factor(mul)
+            # input blocks of this group (unique, ordered)
+            in_blocks = []
+            seen = set()
+            for idx in idxs:
+                b = tp.instructions[idx].i_in1
+                if b not in seen:
+                    seen.add(b)
+                    in_blocks.append(
+                        (in_slices[b].start, tp.irreps_in1[b].ir.dim, mul)
+                    )
+            in_pos = {blk[0]: i for i, blk in enumerate(in_blocks)}
+            in_off_packed = {}
+            acc = 0
+            for off, d, m in in_blocks:
+                in_off_packed[off] = acc
+                acc += d * p * m
+            d_a = acc
+            # weight blocks (one per instruction, width mul)
+            w_blocks = []
+            w_off_packed = {}
+            acc = 0
+            for idx in idxs:
+                off = tp._offsets[idx]
+                w_blocks.append((off, 1, mul))
+                w_off_packed[off] = acc
+                acc += p * mul
+            d_b = acc
+            # output blocks (one per instruction, width d3*mul)
+            o_blocks = []
+            o_off_packed = {}
+            acc = 0
+            for idx in idxs:
+                b = tp.instructions[idx].i_out
+                off = out_slices[b].start
+                d3 = tp.irreps_out[b].ir.dim
+                o_blocks.append((off, d3, mul))
+                o_off_packed[off] = acc
+                acc += d3 * p * mul
+            d_out = acc
+            # remap the terms of this group to packed offsets (lane width p*mul)
+            idxset = set(idxs)
+            gterms = []
+            for t in base_terms:
+                # identify the instruction of this term by weight offset
+                if not any(tp._offsets[idx] == t.b_off and idx in idxset for idx in idxs):
+                    continue
+                # within-block component indices
+                in_base = max(o for o in in_off_packed if o <= t.a_off and
+                              any(ib[0] == o for ib in in_blocks))
+                # find owning input block
+                own = None
+                for off, d, m in in_blocks:
+                    if off <= t.a_off < off + d * m:
+                        own = (off, d, m)
+                        break
+                i_comp = (t.a_off - own[0]) // mul
+                own_out = None
+                for off, d3, m in o_blocks:
+                    if off <= t.out_off < off + d3 * m:
+                        own_out = (off, d3, m)
+                        break
+                k_comp = (t.out_off - own_out[0]) // mul
+                gterms.append(
+                    Term(
+                        a_off=in_off_packed[own[0]] + i_comp * p * mul,
+                        col_off=t.col_off,  # handled via packed cols lane tiles
+                        b_off=w_off_packed[t.b_off],
+                        out_off=o_off_packed[own_out[0]] + k_comp * p * mul,
+                        mul=p * mul,
+                        coeff=t.coeff,
+                    )
+                )
+            self.groups.append(dict(
+                mul=mul, p=p, idxs=idxs, in_blocks=in_blocks, w_blocks=w_blocks,
+                o_blocks=o_blocks, terms=tuple(gterms), d_a=d_a, d_b=d_b,
+                d_out=d_out,
+            ))
+        self._lcm_pad = int(np.lcm.reduce([g["p"] for g in self.groups])) * tile_rows
+
+    def __call__(self, x, sh, w):
+        E0 = x.shape[0]
+        pad = (-E0) % self._lcm_pad
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            sh = jnp.pad(sh, ((0, pad), (0, 0)))
+            w = jnp.pad(w, ((0, pad), (0, 0)))
+        E = x.shape[0]
+        tp = self.tp
+        out_slices = tp.irreps_out.slices()
+        out_pieces = {}
+        for g in self.groups:
+            p, mul = g["p"], g["mul"]
+            xg = _pack_blocks(x, g["in_blocks"], p)
+            wg = _pack_blocks(w, g["w_blocks"], p)
+            if p > 1:
+                colg = _pack_cols(sh, mul, p)
+                d_col = sh.shape[1] * p * mul
+                # terms use col lane tiles of width p*mul at j*(p*mul)
+                terms = tuple(
+                    Term(t.a_off, t.col_off * p * mul, t.b_off, t.out_off,
+                         t.mul, t.coeff)
+                    for t in g["terms"]
+                )
+                kernel = _t_kernel_packed
+            else:
+                colg = sh
+                d_col = sh.shape[1]
+                terms = g["terms"]
+                kernel = None
+            rows = E // p
+            tile = self.tile_rows
+            if kernel is None:
+                out_g = t_apply(
+                    xg, colg, wg, terms=terms, d_a=g["d_a"], d_col=d_col,
+                    d_b=g["d_b"], d_out=g["d_out"], tile=tile,
+                    interpret=self.interpret,
+                )
+            else:
+                out_g = t_packed_apply(
+                    xg, colg, wg, terms=terms, d_a=g["d_a"], d_col=d_col,
+                    d_b=g["d_b"], d_out=g["d_out"], tile=tile,
+                    interpret=self.interpret,
+                )
+            out_g = _unpack_blocks(out_g, g["o_blocks"], p, E)
+            # scatter group blocks into final output order
+            off_unpacked = 0
+            for off, d3, m in g["o_blocks"]:
+                out_pieces[off] = out_g[:, off_unpacked : off_unpacked + d3 * m]
+                off_unpacked += d3 * m
+        ordered = [out_pieces[s.start] for s in out_slices]
+        out = jnp.concatenate(ordered, axis=-1)
+        return out[:E0] if pad else out
+
+
+def _t_kernel_packed(terms, a_ref, col_ref, b_ref, out_ref):
+    """Same FMA structure as _t_kernel but the column operand is a packed
+    full-width lane tile instead of a [T, 1] broadcast column."""
+    out_acc = {}
+    for (out_off, b_off, mul), ts in _group(terms).items():
+        acc = None
+        for t in ts:
+            col = col_ref[:, t.col_off : t.col_off + t.mul]
+            a = a_ref[:, t.a_off : t.a_off + t.mul]
+            v = (t.coeff * col) * a
+            acc = v if acc is None else acc + v
+        val = acc * b_ref[:, b_off : b_off + mul]
+        key = (out_off, mul)
+        out_acc[key] = out_acc.get(key, 0.0) + val
+    out_ref[:] = jnp.zeros_like(out_ref)
+    for (out_off, mul), val in out_acc.items():
+        out_ref[:, out_off : out_off + mul] = val
+
+
+_tpk_p = jex_core.Primitive("equiformer_dtp_t_packed")
+
+
+def t_packed_apply(a, col, b, *, terms, d_a, d_col, d_b, d_out, tile, interpret):
+    return _tpk_p.bind(a, col, b, terms=terms, d_a=d_a, d_col=d_col, d_b=d_b,
+                       d_out=d_out, tile=tile, interpret=interpret)
+
+
+def _tpk_call(a, col, b, *, terms, d_a, d_col, d_b, d_out, tile, interpret):
+    E = a.shape[0]
+    return pl.pallas_call(
+        functools.partial(_t_kernel_packed, terms),
+        out_shape=jax.ShapeDtypeStruct((E, d_out), a.dtype),
+        grid=(E // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, d_a), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d_col), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d_b), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d_out), lambda i: (i, 0)),
+        interpret=interpret,
+    )(a, col, b)
+
+
+def _tpk_abstract(a, col, b, *, d_out, **kw):
+    return jax.core.ShapedArray((a.shape[0], d_out), a.dtype)
+
+
+_tpk_p.def_abstract_eval(_tpk_abstract)
+_tpk_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _tpk_p))
+mlir.register_lowering(_tpk_p, mlir.lower_fun(_tpk_call, multiple_results=False))
+
+
+def _tpk_jvp(primals, tangents, **params):
+    a, col, b = primals
+    da, dcol, db = tangents
+    out = t_packed_apply(a, col, b, **params)
+    tan = None
+    def add(x, y):
+        return y if x is None else x + y
+    if type(da) is not ad.Zero:
+        tan = add(tan, t_packed_apply(da, col, b, **params))
+    if type(dcol) is not ad.Zero:
+        tan = add(tan, t_packed_apply(a, dcol, b, **params))
+    if type(db) is not ad.Zero:
+        tan = add(tan, t_packed_apply(a, col, db, **params))
+    if tan is None:
+        tan = ad.Zero.from_primal_value(out)
+    return out, tan
+
+
+def _tpk_transpose(ct, a, col, b, *, terms, d_a, d_col, d_b, d_out, tile, interpret):
+    # fully symmetric trilinear with all-lane operands: every transpose is the
+    # same primitive with two slots swapped in the term list
+    if type(ct) is ad.Zero:
+        return None, None, None
+    ct_a = ct_col = ct_b = None
+    if ad.is_undefined_primal(a):
+        t = tuple(Term(x.out_off, x.col_off, x.b_off, x.a_off, x.mul, x.coeff) for x in terms)
+        ct_a = t_packed_apply(ct, col, b, terms=t, d_a=d_out, d_col=d_col,
+                              d_b=d_b, d_out=d_a, tile=tile, interpret=interpret)
+    if ad.is_undefined_primal(col):
+        t = tuple(Term(x.a_off, x.out_off, x.b_off, x.col_off, x.mul, x.coeff) for x in terms)
+        ct_col = t_packed_apply(a, ct, b, terms=t, d_a=d_a, d_col=d_out,
+                                d_b=d_b, d_out=d_col, tile=tile, interpret=interpret)
+    if ad.is_undefined_primal(b):
+        t = tuple(Term(x.a_off, x.col_off, x.out_off, x.b_off, x.mul, x.coeff) for x in terms)
+        ct_b = t_packed_apply(a, col, ct, terms=t, d_a=d_a, d_col=d_col,
+                              d_b=d_out, d_out=d_b, tile=tile, interpret=interpret)
+    return ct_a, ct_col, ct_b
+
+
+ad.primitive_jvps[_tpk_p] = _tpk_jvp
+ad.primitive_transposes[_tpk_p] = _tpk_transpose

@@ -131,3 +131,16 @@ def test_first_order_fused_shared_weights():
     g1 = jax.grad(lambda w: jnp.sum(jnp.cos(k1(x, sh, w))))(w)
     gr = jax.grad(lambda w: jnp.sum(jnp.cos(tp.apply(x, sh, w))))(w)
     assert float(jnp.max(jnp.abs(g1 - gr))) < 1e-12
+
+
+def test_packed_kernel_matches_einsum():
+    from equiformer_tpu.kernels.dtp_pallas import PackedPallasDTP
+
+    tp, x, sh = _setup()
+    w = jnp.asarray(RNG.normal(size=(x.shape[0], tp.weight_numel)))
+    k = PackedPallasDTP(tp, tile_rows=8, interpret=True)
+    ref = tp.apply(x, sh, w, scale_weights=True)
+    assert float(jnp.max(jnp.abs(k(x, sh, w) - ref))) < 1e-12
+    g = jax.grad(lambda x: jnp.sum(jnp.sin(k(x, sh, w))))(x)
+    gr = jax.grad(lambda x: jnp.sum(jnp.sin(tp.apply(x, sh, w, scale_weights=True))))(x)
+    assert float(jnp.max(jnp.abs(g - gr))) < 1e-12
