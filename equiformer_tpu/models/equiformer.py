@@ -87,6 +87,9 @@ class GraphAttention(nn.Module):
                 fc_neurons=self.fc_neurons, use_activation=True,
                 norm_layer=None, internal_weights=False, name="sep_act",
                 higher_order_grads=self.higher_order_grads,
+                # sep_alpha reads the same unsimplified DTP output; declaring
+                # it here lets the fused DTP+linear kernel emit both heads
+                extra_head_irreps=(irreps_alpha,),
             )
             dtp_plan = depthwise_tp(pre, Irreps(self.irreps_edge_attr), pre)
             self.sep_alpha = IrrepsLinear(dtp_plan.irreps_out, irreps_alpha, name="sep_alpha")
@@ -134,10 +137,12 @@ class GraphAttention(nn.Module):
 
         if self.nonlinear_message:
             w = self.sep_act.dtp_weights(edge_scalars)
-            message = self.sep_act.apply_dtp(message, edge_attr, w)
-            alpha = self.sep_alpha(message)  # [E, mul_alpha]
+            # one (fused, when available) DTP evaluates both linear heads on
+            # the unsimplified message: the gate input and the alpha scalars
+            value, alpha = self.sep_act.dtp_lin(
+                message, edge_attr, w, extra_heads=(self.sep_alpha,)
+            )
             alpha = vec2heads(Irreps(f"{mah}x0e"), H, alpha)  # [E, H, mah]
-            value = self.sep_act.apply_lin(message)
             value = self.sep_act.apply_gate_fn(value)
             value = self.sep_value(value, edge_attr=edge_attr, edge_scalars=None)
             value = vec2heads(head, H, value)  # [E, H, head_dim]

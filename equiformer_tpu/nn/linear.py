@@ -20,7 +20,12 @@ from ..core.irreps import Irrep, Irreps
 
 
 class IrrepsLinear(nn.Module):
-    """Equivariant linear: mixes multiplicities within each irrep (l, p)."""
+    """Equivariant linear: mixes multiplicities within each irrep (l, p).
+
+    setup-style so fused kernels (kernels/dtp_lin_pallas.py) can read the raw
+    weights via :meth:`weight_list` and apply the bias via :meth:`add_bias`
+    without materializing this layer's input.
+    """
 
     irreps_in: Irreps
     irreps_out: Irreps
@@ -28,41 +33,75 @@ class IrrepsLinear(nn.Module):
     weight_init_scale: float = 1.0  # e.g. sqrt(max_atom_type) for NodeEmbedding
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
         in_slices = irreps_in.slices()
-
-        pieces = []
+        blocks_per_out = []
+        ws = {}
+        bs = {}
         for oi, (mul_out, ir_out) in enumerate(irreps_out):
-            # gather all input blocks of the same irrep (component-major
-            # [..., d, mul] views; the concat is on the lane/mul axis)
-            blocks = []
-            for ii, (mul_in, ir_in) in enumerate(irreps_in):
-                if ir_in == ir_out:
-                    blk = x[..., in_slices[ii]]
-                    blocks.append(
-                        blk.reshape(blk.shape[:-1] + (ir_in.dim, mul_in))
-                    )
+            blocks = [
+                (in_slices[ii], ir_in.dim, mul_in)
+                for ii, (mul_in, ir_in) in enumerate(irreps_in)
+                if ir_in == ir_out
+            ]
+            blocks_per_out.append(blocks)
             if blocks:
-                inp = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=-1)
-                fan_in = inp.shape[-1]
+                fan_in = sum(m for _, _, m in blocks)
                 std = self.weight_init_scale / np.sqrt(fan_in)
-                w = self.param(
+                ws[oi] = self.param(
                     f"w{oi}",
                     nn.initializers.normal(stddev=std),
                     (fan_in, mul_out),
                     self.param_dtype,
                 )
+            if self.use_bias and ir_out.is_scalar():
+                bs[oi] = self.param(
+                    f"b{oi}", nn.initializers.zeros, (mul_out,), self.param_dtype
+                )
+        self._blocks_per_out = blocks_per_out
+        self._ws = ws
+        self._bs = bs
+
+    def weight_list(self):
+        """Per-output-block weights ([fan_in, mul_out] or None), in
+        irreps_out order — the layout fused kernels pack from."""
+        n = len(Irreps(self.irreps_out))
+        return [self._ws.get(oi) for oi in range(n)]
+
+    def add_bias(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Add this layer's scalar biases to an output laid out like
+        ``__call__``'s result (used after a fused kernel produced it)."""
+        if not self._bs:
+            return y
+        irreps_out = Irreps(self.irreps_out)
+        out_slices = irreps_out.slices()
+        for oi, b in self._bs.items():
+            sl = out_slices[oi]
+            y = y.at[..., sl].add(
+                jnp.tile(b.astype(y.dtype), irreps_out[oi].ir.dim)
+            )
+        return y
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        irreps_out = Irreps(self.irreps_out)
+        pieces = []
+        for oi, (mul_out, ir_out) in enumerate(irreps_out):
+            # gather all input blocks of the same irrep (component-major
+            # [..., d, mul] views; the concat is on the lane/mul axis)
+            blocks = [
+                x[..., sl].reshape(x.shape[:-1] + (d, mul_in))
+                for sl, d, mul_in in self._blocks_per_out[oi]
+            ]
+            if blocks:
+                inp = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=-1)
+                w = self._ws[oi]
                 out = jnp.einsum("...iu,uw->...iw", inp, w.astype(x.dtype))
             else:
                 out = jnp.zeros(x.shape[:-1] + (ir_out.dim, mul_out), x.dtype)
-            if self.use_bias and ir_out.is_scalar():
-                b = self.param(
-                    f"b{oi}", nn.initializers.zeros, (mul_out,), self.param_dtype
-                )
-                out = out + b.astype(x.dtype)
+            if oi in self._bs:
+                out = out + self._bs[oi].astype(x.dtype)
             pieces.append(out.reshape(out.shape[:-2] + (mul_out * ir_out.dim,)))
         return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
 

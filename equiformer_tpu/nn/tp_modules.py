@@ -112,6 +112,37 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _fused_dtplin_enabled() -> bool:
+    """The fused DTP+linear kernel (kernels/dtp_lin_pallas.py); on by default
+    wherever Pallas is, opt out with EQUIFORMER_TPU_FUSED_DTPLIN=0."""
+    import os
+
+    env = os.environ.get("EQUIFORMER_TPU_FUSED_DTPLIN")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return True
+
+
+def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
+    """Build the fused DTP+linear op when supported, else None.  First-order
+    AD only (custom_vjp), so force models (higher_order_grads) keep the
+    primitive-composed kernels."""
+    if higher_order_grads or not (_pallas_enabled() and _fused_dtplin_enabled()):
+        return None, None
+    try:
+        from ..kernels.dtp_lin_pallas import DTPLinPlan, make_fused_dtp_lin
+
+        fplan = DTPLinPlan(
+            plan,
+            head_irreps,
+            fold_rescale=not internal_weights,
+            shared_weights=internal_weights,
+        )
+        return fplan, make_fused_dtp_lin(fplan)
+    except (ValueError, AssertionError):
+        return None, None
+
+
 class DTPLayer(nn.Module):
     """Depthwise TP with either internal weights or externally supplied flat
     per-edge weights; no bias (all reference DTP call sites use bias=False).
@@ -164,6 +195,10 @@ class DTPLayer(nn.Module):
     def weight_numel(self) -> int:
         return self.plan.weight_numel
 
+    def internal_weights_value(self) -> jnp.ndarray:
+        """Raw internal weight vector (for fused DTP+linear callers)."""
+        return self.w
+
     def __call__(self, node_on_edge, edge_attr, weights: Optional[jnp.ndarray] = None):
         if self.internal_weights:
             w = self.w.astype(node_on_edge.dtype)
@@ -177,7 +212,13 @@ class DTPLayer(nn.Module):
 
 
 class SeparableFCTP(nn.Module):
-    """Depthwise + pointwise separable equivariant convolution on edges."""
+    """Depthwise + pointwise separable equivariant convolution on edges.
+
+    When Pallas is enabled and only first-order gradients are needed, the
+    DTP and the following per-irrep linear run as one fused kernel
+    (kernels/dtp_lin_pallas.py); ``extra_head_irreps`` declares additional
+    linear heads reading the same unsimplified DTP output (the nonlinear
+    message path's ``sep_alpha``) so they join the fused matmul."""
 
     irreps_node: Irreps
     irreps_edge: Irreps
@@ -187,6 +228,7 @@ class SeparableFCTP(nn.Module):
     norm_layer: Optional[str] = None
     internal_weights: bool = False
     higher_order_grads: bool = True
+    extra_head_irreps: Tuple = ()
 
     def setup(self):
         irreps_out = Irreps(self.irreps_out)
@@ -210,6 +252,12 @@ class SeparableFCTP(nn.Module):
         else:
             irreps_lin_output = irreps_out
         self.lin = IrrepsLinear(plan.irreps_out, irreps_lin_output, name="lin")
+        self._fused_plan, self._fused = _make_fused_plan(
+            plan,
+            [irreps_lin_output] + [Irreps(h) for h in self.extra_head_irreps],
+            self.internal_weights,
+            self.higher_order_grads,
+        )
         if self.norm_layer is not None:
             self.norm = get_norm_layer(self.norm_layer)(irreps_lin_output)
         if self.use_activation:
@@ -217,6 +265,30 @@ class SeparableFCTP(nn.Module):
                 self.gate = Activation(irreps_out, ["silu"])
             else:
                 self.gate = Gate(scalars, gates, gated)
+
+    def dtp_lin(self, node_on_edge, edge_attr, weights, extra_heads=()):
+        """dtp -> (lin, *extra_head linears), fused into one kernel when
+        available.  ``extra_heads`` are bound IrrepsLinear modules matching
+        ``extra_head_irreps``.  Returns a single array (no extra heads) or a
+        list of per-head outputs."""
+        heads = [self.lin] + list(extra_heads)
+        assert len(heads) == 1 + len(self.extra_head_irreps)
+        if self._fused is not None:
+            dtype = node_on_edge.dtype
+            if self.internal_weights:
+                weights = self.dtp.internal_weights_value().astype(dtype)
+            head_ws = [
+                [None if w is None else w.astype(dtype) for w in h.weight_list()]
+                for h in heads
+            ]
+            Ws = self._fused_plan.pack_weights(head_ws)
+            out_flat = self._fused(node_on_edge, edge_attr, weights, Ws)
+            outs = self._fused_plan.split_output(out_flat)
+            outs = [h.add_bias(o) for h, o in zip(heads, outs)]
+        else:
+            z = self.dtp(node_on_edge, edge_attr, weights)
+            outs = [h(z) for h in heads]
+        return outs if extra_heads else outs[0]
 
     def __call__(
         self,
@@ -230,8 +302,7 @@ class SeparableFCTP(nn.Module):
         w = None
         if self.fc_neurons is not None and edge_scalars is not None:
             w = self.dtp_rad(edge_scalars)
-        out = self.dtp(node_on_edge, edge_attr, w)
-        out = self.lin(out)
+        out = self.dtp_lin(node_on_edge, edge_attr, w)
         if self.norm_layer is not None:
             out = self.norm(out, batch=batch, num_graphs=num_graphs)
         if self.use_activation and apply_gate:
@@ -294,13 +365,24 @@ class EdgeDegreeEmbedding(nn.Module):
         plan = depthwise_tp(irreps_out, Irreps(self.irreps_edge), irreps_out)
         self.rad = RadialProfile(features=tuple(self.fc_neurons) + (plan.weight_numel,))
         self.proj = IrrepsLinear(plan.irreps_out, irreps_out, name="proj")
+        self._fused_plan, self._fused = _make_fused_plan(
+            plan, [irreps_out], False, self.higher_order_grads
+        )
 
     def __call__(self, edge_attr, edge_scalars, edge_src, edge_dst, edge_mask, num_nodes):
         ones = jnp.ones((num_nodes, 1), edge_attr.dtype)
         feat = self.exp(ones)
         w = self.rad(edge_scalars)
-        edge_feat = self.dw(feat[edge_src], edge_attr, w)
-        edge_feat = self.proj(edge_feat)
+        if self._fused is not None:
+            dtype = edge_attr.dtype
+            head_ws = [[None if x is None else x.astype(dtype)
+                        for x in self.proj.weight_list()]]
+            Ws = self._fused_plan.pack_weights(head_ws)
+            out_flat = self._fused(feat[edge_src], edge_attr, w, Ws)
+            edge_feat = self.proj.add_bias(self._fused_plan.split_output(out_flat)[0])
+        else:
+            edge_feat = self.dw(feat[edge_src], edge_attr, w)
+            edge_feat = self.proj(edge_feat)
         return scaled_scatter_sum(
             edge_feat, edge_dst, num_nodes, self.avg_degree, mask=edge_mask
         )
