@@ -36,6 +36,7 @@ class GraphLoader:
         shard_index: int = 0,
         dense_slots: Optional[int] = None,
         use_native: bool = True,
+        balance: Optional[str] = "atoms",
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -52,6 +53,7 @@ class GraphLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.dense_slots = dense_slots
+        self.balance = balance  # 'atoms' -> BalancedBatchSampler-style shards
         self.epoch = 0
         self._arena = None
         if use_native and dense_slots is not None and not extra_node_keys and not extra_graph_keys:
@@ -75,7 +77,23 @@ class GraphLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
-        order = order[self.shard_index :: self.num_shards]
+        if self.num_shards > 1 and self.balance == "atoms":
+            # atom-count-balanced sharding (the reference BalancedBatchSampler,
+            # oc20/trainer/base_trainer_oc20.py:238-256): greedy
+            # largest-first onto the lightest shard, capped so every shard
+            # keeps exactly the round-robin item count.
+            from .. import native
+
+            sizes = np.array(
+                [self.graphs[j]["pos"].shape[0] for j in order], np.int64
+            )
+            n, s = len(order), self.num_shards
+            caps = np.full(s, n // s, np.int64)
+            caps[: n % s] += 1
+            assign = native.balanced_assign_capped(sizes, s, caps)
+            order = order[assign == self.shard_index]
+        else:
+            order = order[self.shard_index :: self.num_shards]
         bs = self.batch_size
         for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
             chunk = [self.graphs[j] for j in order[i : i + bs]]

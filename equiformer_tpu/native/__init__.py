@@ -61,6 +61,9 @@ def _load():
         lib.balanced_assign.restype = None
         lib.balanced_assign.argtypes = [i64p, i64p, ctypes.c_int64,
                                         ctypes.c_int64, i64p]
+        lib.balanced_assign_capped.restype = None
+        lib.balanced_assign_capped.argtypes = [i64p, i64p, ctypes.c_int64,
+                                               ctypes.c_int64, i64p, i64p]
         _lib = lib
         HAVE_NATIVE = True
     except OSError:
@@ -176,4 +179,32 @@ def balanced_assign(sizes: np.ndarray, shards: int) -> np.ndarray:
         k = int(np.argmin(loads))
         out[g] = k
         loads[k] += sizes[g]
+    return out
+
+
+def balanced_assign_capped(sizes: np.ndarray, shards: int,
+                           caps: np.ndarray) -> np.ndarray:
+    """Greedy atom-count balancing with a per-shard item cap, so every shard
+    keeps exactly the round-robin batch count (OCP BalancedBatchSampler
+    analog, base_trainer_oc20.py:238-256)."""
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    caps = np.ascontiguousarray(caps, np.int64)
+    order = np.argsort(-sizes).astype(np.int64)
+    out = np.zeros(len(sizes), np.int64)
+    if HAVE_NATIVE:
+        _lib.balanced_assign_capped(
+            _ip64(order), _ip64(sizes), len(sizes), shards, _ip64(caps), _ip64(out)
+        )
+        return out
+    loads = np.zeros(shards, np.int64)
+    counts = np.zeros(shards, np.int64)
+    for g in order:
+        open_ = counts < caps
+        if not open_.any():
+            out[g] = 0
+            continue
+        k = int(np.flatnonzero(open_)[np.argmin(loads[open_])])
+        out[g] = k
+        loads[k] += sizes[g]
+        counts[k] += 1
     return out

@@ -103,4 +103,29 @@ void balanced_assign(const int64_t* order_by_size_desc, const int64_t* sizes,
   delete[] load;
 }
 
+// Capacity-limited greedy balancing: like balanced_assign, but shard s takes
+// at most cap[s] items — keeps per-shard batch counts identical to
+// round-robin sharding while balancing total atom counts (the OCP
+// BalancedBatchSampler contract, base_trainer_oc20.py:238-256).
+void balanced_assign_capped(const int64_t* order_by_size_desc,
+                            const int64_t* sizes, int64_t n, int64_t shards,
+                            const int64_t* cap, int64_t* out_shard) {
+  int64_t* load = new int64_t[shards]();
+  int64_t* count = new int64_t[shards]();
+  for (int64_t idx = 0; idx < n; ++idx) {
+    const int64_t g = order_by_size_desc[idx];
+    int64_t best = -1;
+    for (int64_t s2 = 0; s2 < shards; ++s2) {
+      if (count[s2] >= cap[s2]) continue;
+      if (best < 0 || load[s2] < load[best]) best = s2;
+    }
+    if (best < 0) best = 0;  // all full (caps sum < n): overflow to shard 0
+    out_shard[g] = best;
+    load[best] += sizes[g];
+    count[best] += 1;
+  }
+  delete[] load;
+  delete[] count;
+}
+
 }  // extern "C"

@@ -55,3 +55,33 @@ def test_balanced_assign():
     out = native.balanced_assign(sizes, 2)
     loads = [int(sizes[out == s].sum()) for s in (0, 1)]
     assert abs(loads[0] - loads[1]) <= 15
+
+
+def test_balanced_loader_shards():
+    """GraphLoader with num_shards>1 balances per-shard atom counts (the
+    BalancedBatchSampler analog) while keeping round-robin batch counts."""
+    from equiformer_tpu.data import GraphLoader, qm9_like_dataset
+
+    data = qm9_like_dataset(64, seed=11)
+    loaders = [
+        GraphLoader(data, batch_size=4, shuffle=True, seed=7, num_shards=4,
+                    shard_index=s)
+        for s in range(4)
+    ]
+    # same length as round-robin sharding
+    rr = GraphLoader(data, batch_size=4, shuffle=True, seed=7, num_shards=4,
+                     shard_index=0, balance=None)
+    assert all(len(l) == len(rr) for l in loaders)
+    atoms = []
+    seen = 0
+    for l in loaders:
+        tot = 0
+        for b in l:
+            tot += int(np.asarray(b.node_mask).sum())
+            seen += 1
+        atoms.append(tot)
+    assert seen == 4 * len(rr)
+    # balanced within a tight tolerance; round-robin on shuffled QM9-like
+    # sizes is typically several percent off
+    spread = (max(atoms) - min(atoms)) / (sum(atoms) / len(atoms))
+    assert spread < 0.02, atoms
