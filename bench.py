@@ -16,16 +16,47 @@ execution completed, so the loop host-materializes the loss every 10 steps
 Baseline: the reference publishes no throughput numbers (BASELINE.md); we use
 an estimated 400 graphs/sec for PyTorch Equiformer QM9 AMP training on one
 A100 (batch 128, ~3.5M params, e3nn TPs) as the denominator — the
-BASELINE.json target of 3x then corresponds to vs_baseline >= 3.0.
+BASELINE.json target of 3x then corresponds to vs_baseline >= 3.0.  See
+BASELINE.md "Throughput baseline derivation" for how 400 g/s was estimated.
+
+MFU: FLOPs/step come from XLA's cost analysis of the *einsum-path* model
+(EQUIFORMER_TPU_PALLAS=0) lowered on CPU — the Pallas kernels compute exactly
+the same math (kernel tests enforce PallasDTP == plan.apply), but XLA cannot
+count FLOPs inside custom calls, so the einsum lowering is the honest
+analytic count.  Peak is the TPU v5e bf16 figure (197 TFLOP/s).
 """
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 A100_BASELINE_GRAPHS_PER_SEC = 400.0
+TPU_V5E_PEAK_BF16_FLOPS = 197e12  # per chip (Google's published v5e spec)
+
+
+def step_flops(batch_size: int) -> float:
+    """Analytic FLOPs for one training step at this batch size, via XLA cost
+    analysis of the einsum-path model lowered on CPU (run in a subprocess so
+    the parent's backend choice is untouched).  Returns 0.0 on failure."""
+    env = dict(os.environ)
+    env["EQUIFORMER_TPU_PALLAS"] = "0"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops-only",
+             "--batch", str(batch_size)],
+            capture_output=True, text=True, timeout=1200, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith('{"flops_per_step"'):
+                return float(json.loads(line)["flops_per_step"])
+    except Exception:
+        pass
+    return 0.0
 
 
 def main():
@@ -37,11 +68,13 @@ def main():
     ap.add_argument("--remat", action="store_true", help="rematerialize blocks (saves memory, ~30%% slower)")
     ap.add_argument("--fp32", action="store_true",
                     help="full fp32 features (default bf16, matching the reference's AMP training)")
+    ap.add_argument("--flops-only", action="store_true",
+                    help="lower the train step on CPU and print analytic FLOPs/step")
     args = ap.parse_args()
 
     import jax
 
-    if args.smoke:
+    if args.smoke or args.flops_only:
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
@@ -100,6 +133,13 @@ def main():
     )
     train_step, _ = make_qm9_steps(model, opt, 0.0, 1.0, "l1")
     state = TrainState.create(params, opt)
+
+    if args.flops_only:
+        lowered = jax.jit(train_step).lower(state, batch, jax.random.PRNGKey(1))
+        cost = lowered.cost_analysis() or {}
+        print(json.dumps({"flops_per_step": float(cost.get("flops", 0.0))}))
+        return
+
     step = jax.jit(train_step, donate_argnums=(0,))
 
     rng = jax.random.PRNGKey(1)
@@ -121,16 +161,20 @@ def main():
     dt = time.perf_counter() - t0
 
     graphs_per_sec = batch_size * n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "qm9_train_throughput",
-                "value": round(graphs_per_sec, 2),
-                "unit": "graphs/sec/chip",
-                "vs_baseline": round(graphs_per_sec / A100_BASELINE_GRAPHS_PER_SEC, 3),
-            }
-        )
-    )
+
+    result = {
+        "metric": "qm9_train_throughput",
+        "value": round(graphs_per_sec, 2),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(graphs_per_sec / A100_BASELINE_GRAPHS_PER_SEC, 3),
+    }
+    if not args.smoke:
+        flops = step_flops(batch_size)
+        if flops > 0:
+            achieved = flops * (graphs_per_sec / batch_size)
+            result["flops_per_step"] = flops
+            result["mfu"] = round(achieved / TPU_V5E_PEAK_BF16_FLOPS, 5)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,7 +1,9 @@
 """OC20 IS2RE training CLI (reference main_oc20.py + EnergyTrainerV2).
 
 Config-driven like the reference: a YAML file with ``includes:`` inheritance
-plus dot-overrides.  Example:
+plus dot-overrides, dispatched through the trainer/task/dataset/logger
+registry (the reference's ocpmodels.common.registry pattern,
+main_oc20.py:60-66).  Example:
 
   python -m equiformer_tpu.cli.train_oc20 --config-yml configs/oc20/l1_base.yml
   python -m equiformer_tpu.cli.train_oc20 --synthetic --epochs 2
@@ -32,11 +34,14 @@ from ..train import (
     with_grad_accumulation,
 )
 from ..train.checkpoint import CheckpointManager
+from ..train.oc20_engine import save_results
+from ..train.registry import get as registry_get
+from ..train.registry import register_task, register_trainer
 from ..utils.config import build_config
 from ..utils.logger import FileLogger, MetricsWriter
 
 
-def get_args():
+def get_args(argv=None):
     p = argparse.ArgumentParser("OC20 IS2RE Equiformer training (TPU)")
     p.add_argument("--config-yml", type=str, default=None)
     p.add_argument("--override", nargs="*", default=[], help="a.b=c overrides")
@@ -46,10 +51,12 @@ def get_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 DEFAULT_CONFIG = {
+    "trainer": "energy_v2",
+    "logger": "file",
     "model": {
         "irreps_node_embedding": "256x0e+128x1e",
         "num_layers": 6,
@@ -82,7 +89,8 @@ DEFAULT_CONFIG = {
     },
     "normalizer": {"target_mean": -1.525913953781128, "target_std": 2.279365062713623,
                    "positions_std": 0.8772},
-    "dataset": {"train_src": None, "val_src": None, "max_nodes_per_graph": 96},
+    "dataset": {"format": "lmdb_v2", "train_src": None, "val_src": None,
+                "max_nodes_per_graph": 96},
 }
 
 
@@ -95,7 +103,7 @@ def _deep_update(base, upd):
     return base
 
 
-def main(args):
+def resolve_config(args):
     cfg = dict(DEFAULT_CONFIG)
     if args.config_yml:
         _deep_update(cfg, build_config(args.config_yml, args.override))
@@ -105,104 +113,116 @@ def main(args):
         apply_overrides(cfg, args.override)
     if args.epochs is not None:
         cfg["optim"]["max_epochs"] = args.epochs
+    return cfg
 
-    log = FileLogger(jax.process_index() == 0, args.output_dir)
-    writer = MetricsWriter(args.output_dir)
-    mcfg, ocfg, ncfg, dcfg = cfg["model"], cfg["optim"], cfg["normalizer"], cfg["dataset"]
 
-    if args.synthetic or dcfg["train_src"] is None:
-        train = oc20_like_dataset(256, seed=1)
-        val = oc20_like_dataset(64, seed=2)
-    else:
-        from ..data.oc20_lmdb import OC20LmdbDataset
+@register_trainer("energy_v2")
+class EnergyTrainerV2:
+    """IS2RE energy trainer (reference oc20/trainer/energy_trainer_v2.py):
+    loads data, builds the model/optimizer/EMA, and exposes train / validate /
+    predict, each reachable as a registered task."""
 
-        train = OC20LmdbDataset(dcfg["train_src"]).to_list()
-        val = OC20LmdbDataset(dcfg["val_src"]).to_list()
-    log.info("train %d systems, val %d", len(train), len(val))
+    def __init__(self, args, cfg):
+        self.args = args
+        self.cfg = cfg
+        self.log = FileLogger(jax.process_index() == 0, args.output_dir)
+        self.writer = MetricsWriter(args.output_dir)
+        tb_enabled = cfg.get("logger") == "tensorboard"
+        self.tb = registry_get("logger", "tensorboard")(
+            os.path.join(args.output_dir, "tb"), enabled=tb_enabled
+        )
+        mcfg, ocfg, ncfg, dcfg = cfg["model"], cfg["optim"], cfg["normalizer"], cfg["dataset"]
+        self.mcfg, self.ocfg, self.ncfg, self.dcfg = mcfg, ocfg, ncfg, dcfg
 
-    M = dcfg["max_nodes_per_graph"]
-    bs = ocfg["batch_size"]
+        if args.synthetic or dcfg["train_src"] is None:
+            self.train_data = oc20_like_dataset(256, seed=1)
+            self.val_data = oc20_like_dataset(64, seed=2)
+        else:
+            dataset_cls = registry_get("dataset", dcfg.get("format", "lmdb_v2"))
+            self.train_data = dataset_cls(dcfg["train_src"]).to_list()
+            self.val_data = dataset_cls(dcfg["val_src"]).to_list()
+        # stable system ids for predict (LMDB records carry sid; synthetic
+        # systems get their index)
+        for i, g in enumerate(self.val_data):
+            g.setdefault("sid", i)
+        self.log.info("train %d systems, val %d", len(self.train_data), len(self.val_data))
 
-    def make_batches(graphs, shuffle_seed=None):
+        model_kwargs = dict(mcfg)
+        for k in ("irreps_node_embedding", "irreps_sh", "irreps_feature",
+                  "irreps_head", "irreps_mlp_mid"):
+            model_kwargs[k] = Irreps(model_kwargs[k])
+        model_kwargs["fc_neurons"] = tuple(model_kwargs["fc_neurons"])
+        self.model = GraphAttentionTransformerOC20(**model_kwargs, remat=True)
+
+        bs = ocfg["batch_size"]
+        self.steps_per_epoch = len(self.train_data) // bs
+        total_steps = ocfg["max_epochs"] * self.steps_per_epoch
+        if ocfg["scheduler"] == "cosine":
+            schedule = cosine_warmup_schedule(
+                ocfg["lr_initial"], ocfg["warmup_epochs"] * self.steps_per_epoch,
+                total_steps,
+            )
+        else:
+            schedule = multistep_warmup_schedule(
+                ocfg["lr_initial"], ocfg["warmup_epochs"] * self.steps_per_epoch,
+                [m * self.steps_per_epoch for m in ocfg.get("lr_milestones", [])],
+            )
+        opt = with_grad_accumulation(
+            create_optimizer(schedule, ocfg["weight_decay"],
+                             grad_clip_norm=ocfg["clip_grad_norm"]),
+            ocfg["grad_accumulation_steps"],
+        )
+        self.train_step, self.eval_step = make_oc20_steps(
+            self.model, opt,
+            target_mean=ncfg["target_mean"], target_std=ncfg["target_std"],
+            positions_std=ncfg["positions_std"],
+            use_auxiliary_task=mcfg["use_auxiliary_task"],
+            auxiliary_task_weight=ocfg["auxiliary_task_weight"],
+            total_steps=total_steps,
+            use_noisy_nodes=ocfg["use_noisy_nodes"],
+            ema_decay=ocfg["ema_decay"],
+        )
+
+        batch0 = next(self.make_batches(self.train_data))
+        params = self.model.init(jax.random.PRNGKey(0), batch0, deterministic=True)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        self.log.info("model: %.2fM params", n_params / 1e6)
+        self.state = TrainState.create(params, opt)
+
+        self.ckpt = CheckpointManager(os.path.join(args.output_dir, "ckpt"))
+        self.start_epoch = 0
+        if args.resume and self.ckpt.latest_step() is not None:
+            self.state, meta = self.ckpt.restore(self.state)
+            self.start_epoch = (meta or {}).get("epoch", 0) + 1
+            self.log.info("resumed from step %d (epoch %d)",
+                          int(self.state.step), self.start_epoch)
+
+        self.eval_fn = jax.jit(self.eval_step)
+
+    def make_batches(self, graphs, shuffle_seed=None, with_sids=False):
+        bs = self.ocfg["batch_size"]
+        M = self.dcfg["max_nodes_per_graph"]
         order = np.arange(len(graphs))
         if shuffle_seed is not None:
             np.random.default_rng(shuffle_seed).shuffle(order)
         for i in range(0, len(order) - bs + 1, bs):
             chunk = [graphs[j] for j in order[i : i + bs]]
-            yield collate_dense(
+            batch = collate_dense(
                 chunk, M, extra_node_keys=("tags", "pos_relaxed"),
                 extra_graph_keys=("cell",),
             )
+            if with_sids:
+                yield batch, [g.get("sid", j) for g, j in zip(chunk, order[i : i + bs])]
+            else:
+                yield batch
 
-    model_kwargs = dict(mcfg)
-    for k in ("irreps_node_embedding", "irreps_sh", "irreps_feature",
-              "irreps_head", "irreps_mlp_mid"):
-        model_kwargs[k] = Irreps(model_kwargs[k])
-    model_kwargs["fc_neurons"] = tuple(model_kwargs["fc_neurons"])
-    model = GraphAttentionTransformerOC20(**model_kwargs, remat=True)
+    def _eval_params(self):
+        return self.state.ema_params if self.state.ema_params is not None else self.state.params
 
-    steps_per_epoch = len(train) // bs
-    total_steps = ocfg["max_epochs"] * steps_per_epoch
-    if ocfg["scheduler"] == "cosine":
-        schedule = cosine_warmup_schedule(
-            ocfg["lr_initial"], ocfg["warmup_epochs"] * steps_per_epoch, total_steps
-        )
-    else:
-        schedule = multistep_warmup_schedule(
-            ocfg["lr_initial"], ocfg["warmup_epochs"] * steps_per_epoch,
-            [m * steps_per_epoch for m in ocfg.get("lr_milestones", [])],
-        )
-    opt = with_grad_accumulation(
-        create_optimizer(schedule, ocfg["weight_decay"],
-                         grad_clip_norm=ocfg["clip_grad_norm"]),
-        ocfg["grad_accumulation_steps"],
-    )
-    train_step, eval_step = make_oc20_steps(
-        model, opt,
-        target_mean=ncfg["target_mean"], target_std=ncfg["target_std"],
-        positions_std=ncfg["positions_std"],
-        use_auxiliary_task=mcfg["use_auxiliary_task"],
-        auxiliary_task_weight=ocfg["auxiliary_task_weight"],
-        total_steps=total_steps,
-        use_noisy_nodes=ocfg["use_noisy_nodes"],
-        ema_decay=ocfg["ema_decay"],
-    )
-
-    batch0 = next(make_batches(train))
-    params = model.init(jax.random.PRNGKey(0), batch0, deterministic=True)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    log.info("model: %.2fM params", n_params / 1e6)
-    state = TrainState.create(params, opt)
-
-    ckpt = CheckpointManager(os.path.join(args.output_dir, "ckpt"))
-    start_epoch = 0
-    if args.resume and ckpt.latest_step() is not None:
-        state, meta = ckpt.restore(state)
-        start_epoch = (meta or {}).get("epoch", 0) + 1
-        log.info("resumed from step %d (epoch %d)", int(state.step), start_epoch)
-
-    step_fn = jax.jit(train_step, donate_argnums=(0,))
-    eval_fn = jax.jit(eval_step)
-    rng = jax.random.PRNGKey(1)
-
-    # preemption handling (analog of submitit Checkpointable + mark_preempting,
-    # main_oc20.py:33,81-88): on SIGTERM, checkpoint at the next step boundary
-    import signal
-
-    preempted = {"flag": False}
-
-    def _on_sigterm(signum, frame):
-        preempted["flag"] = True
-
-    try:
-        signal.signal(signal.SIGTERM, _on_sigterm)
-    except ValueError:
-        pass  # not the main thread
-
-    def validate(params):
+    def validate(self):
         sums = {}
-        for b in make_batches(val):
-            out = eval_fn(params, b)
+        for b in self.make_batches(self.val_data):
+            out = self.eval_fn(self._eval_params(), b)
             for k, v in out.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
         c = max(sums.get("count", 1.0), 1.0)
@@ -211,52 +231,103 @@ def main(args):
             "energy_mse": sums["mse_sum"] / c,
             "energy_within_threshold": sums["within_threshold"] / c,
         }
-        log.info("val: %s", {k: round(v, 6) for k, v in res.items()})
+        self.log.info("val: %s", {k: round(v, 6) for k, v in res.items()})
         return res
 
-    if args.mode == "validate":
-        return validate(state.ema_params or state.params)
+    def predict(self):
+        """Denormalized per-system energies, merged across ranks by rank 0
+        (reference EnergyTrainerV2.predict + BaseTrainerV2.save_results,
+        energy_trainer_v2.py:133-225, base_trainer_oc20.py:707-757)."""
+        params = self._eval_params()
+        predictions = {"id": [], "energy": []}
+        for b, sids in self.make_batches(self.val_data, with_sids=True):
+            out = self.model.apply(params, jax.tree_util.tree_map(jnp.asarray, b),
+                                   deterministic=True)
+            e = out[0] if self.mcfg["use_auxiliary_task"] else out
+            e = np.asarray(e) * self.ncfg["target_std"] + self.ncfg["target_mean"]
+            keep = np.asarray(b.graph_mask)
+            predictions["energy"].extend(e[keep].tolist())
+            predictions["id"].extend(str(s) for s, k in zip(sids, keep) if k)
+        merged = save_results(predictions, self.args.output_dir, "predictions",
+                              keys=("energy",))
+        if merged:
+            self.log.info("wrote %d merged predictions to %s",
+                          len(predictions["id"]), merged)
+        return merged
 
-    if args.mode == "predict":
-        # reference EnergyTrainerV2.predict (energy_trainer_v2.py:133-225):
-        # per-rank prediction arrays merged by the master process
-        params = state.ema_params if state.ema_params is not None else state.params
-        energies = []
-        for b in make_batches(val):
-            out = model.apply(params, jax.tree_util.tree_map(jnp.asarray, b),
-                              deterministic=True)
-            e = out[0] if mcfg["use_auxiliary_task"] else out
-            e = np.asarray(e) * ncfg["target_std"] + ncfg["target_mean"]
-            energies.append(e[np.asarray(b.graph_mask)])
-        energies = np.concatenate(energies) if energies else np.zeros(0)
-        rank = jax.process_index()
-        path = os.path.join(args.output_dir, f"predictions_{rank}.npz")
-        np.savez(path, energy=energies)
-        log.info("wrote %d predictions to %s", len(energies), path)
-        return path
+    def train(self):
+        step_fn = jax.jit(self.train_step, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(1)
 
-    for epoch in range(start_epoch, ocfg["max_epochs"]):
-        meters = {k: AverageMeter() for k in ("loss", "mae")}
-        t0 = time.perf_counter()
-        for batch in prefetch(make_batches(train, shuffle_seed=epoch)):
-            rng, sub = jax.random.split(rng)
-            state, m = step_fn(state, batch, sub)
-            for k in meters:
-                if k in m:
-                    meters[k].update(float(m[k]))
-            if preempted["flag"]:
-                ckpt.save(int(state.step), state, metadata={"epoch": epoch - 1})
-                log.info("preempted: checkpointed at step %d", int(state.step))
-                ckpt.close()
-                return
-        dt = time.perf_counter() - t0
-        log.info("epoch %d: loss %.5f mae %.5f (%.1fs)", epoch,
-                 meters["loss"].avg, meters["mae"].avg, dt)
-        writer.write(int(state.step), {k: v.avg for k, v in meters.items()})
-        if (epoch + 1) % ocfg["eval_every_epochs"] == 0:
-            validate(state.ema_params if state.ema_params is not None else state.params)
-        ckpt.save(int(state.step), state, metadata={"epoch": epoch})
-    ckpt.close()
+        # preemption handling (analog of submitit Checkpointable +
+        # mark_preempting, main_oc20.py:33,81-88): on SIGTERM, checkpoint at
+        # the next step boundary
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not the main thread
+
+        for epoch in range(self.start_epoch, self.ocfg["max_epochs"]):
+            meters = {k: AverageMeter() for k in ("loss", "mae")}
+            t0 = time.perf_counter()
+            for batch in prefetch(self.make_batches(self.train_data, shuffle_seed=epoch)):
+                rng, sub = jax.random.split(rng)
+                self.state, m = step_fn(self.state, batch, sub)
+                for k in meters:
+                    if k in m:
+                        meters[k].update(float(m[k]))
+                if preempted["flag"]:
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   metadata={"epoch": epoch - 1})
+                    self.log.info("preempted: checkpointed at step %d",
+                                  int(self.state.step))
+                    self.ckpt.close()
+                    return
+            dt = time.perf_counter() - t0
+            self.log.info("epoch %d: loss %.5f mae %.5f (%.1fs)", epoch,
+                          meters["loss"].avg, meters["mae"].avg, dt)
+            scalars = {k: v.avg for k, v in meters.items()}
+            self.writer.write(int(self.state.step), scalars)
+            self.tb.add_scalars(int(self.state.step), scalars)
+            if (epoch + 1) % self.ocfg["eval_every_epochs"] == 0:
+                val = self.validate()
+                self.tb.add_scalars(int(self.state.step),
+                                    {f"val/{k}": v for k, v in val.items()})
+            self.ckpt.save(int(self.state.step), self.state, metadata={"epoch": epoch})
+        self.ckpt.close()
+        self.tb.close()
+
+
+@register_task("train")
+def _task_train(trainer):
+    return trainer.train()
+
+
+@register_task("validate")
+def _task_validate(trainer):
+    return trainer.validate()
+
+
+@register_task("predict")
+def _task_predict(trainer):
+    return trainer.predict()
+
+
+def main(args):
+    """Registry-dispatched entry (reference main_oc20.py:60-66): config names
+    the trainer, the CLI mode names the task."""
+    cfg = resolve_config(args)
+    trainer_cls = registry_get("trainer", cfg.get("trainer", "energy_v2"))
+    trainer = trainer_cls(args, cfg)
+    task = registry_get("task", args.mode)
+    return task(trainer)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .lmdb_format import LmdbReader
+from ..train.registry import register_dataset
 
 try:
     import lmdb  # type: ignore
@@ -91,6 +92,8 @@ class _PyTxn:
         return {"entries": self._r.entries}
 
 
+@register_dataset("lmdb_v2")
+@register_dataset("single_point_lmdb_v2")
 class OC20LmdbDataset:
     def __init__(self, src: str):
         if os.path.isdir(src):

@@ -4,6 +4,7 @@ from .dropout import EquivariantDropout, EquivariantScalarsDropout, GraphDropPat
 from .linear import IrrepsLinear, ScalarMLP
 from .norms import (
     EquivariantGraphNorm,
+    EquivariantGraphNormV2,
     EquivariantInstanceNorm,
     EquivariantLayerNorm,
     EquivariantLayerNormFast,

@@ -178,6 +178,62 @@ class EquivariantGraphNorm(_GraphStatNorm):
     learnable_mean_shift: bool = True
 
 
+class EquivariantGraphNormV2(nn.Module):
+    """Graph norm with learnable mean-shift on EVERY irrep, not just scalars
+    (reference graph_norm.py:141-238).  The per-mul ``mean_shift`` is
+    initialized to 1 for even scalars and 0 elsewhere, so at init it equals
+    plain instance norm; training can learn to center l>0 fields too (still
+    equivariant: the per-graph mean of an l>0 field co-rotates with it)."""
+
+    irreps: Irreps
+    eps: float = 1e-5
+    affine: bool = True
+    reduce: str = "mean"
+    normalization: str = "component"
+
+    @nn.compact
+    def __call__(self, x, batch=None, node_mask=None, num_graphs=None):
+        if batch is None or num_graphs is None:
+            raise ValueError("graph norm needs batch indices and num_graphs")
+        irreps = Irreps(self.irreps)
+        in_dtype = x.dtype
+        x = x.astype(jnp.promote_types(in_dtype, jnp.float32))
+        num_features = irreps.num_irreps
+        num_scalar = sum(mi.mul for mi in irreps if mi.ir.is_scalar())
+        if self.affine:
+            weight = self.param("affine_weight", nn.initializers.ones, (num_features,))
+            bias = self.param("affine_bias", nn.initializers.zeros, (num_scalar,))
+        ms_init = jnp.concatenate(
+            [(jnp.ones if mi.ir.is_scalar() else jnp.zeros)((mi.mul,)) for mi in irreps]
+        )
+        mean_shift = self.param("mean_shift", lambda k, s: ms_init, (num_features,))
+        iw = ib = ims = 0
+        pieces = []
+        for field, mul, ir in _blocks(x, irreps):
+            gm = segment_mean(field, batch, num_graphs, mask=node_mask)  # [G, d, mul]
+            shift = mean_shift[ims : ims + mul]
+            ims += mul
+            field = field - gm[batch] * shift
+            if self.normalization == "norm":
+                fn = jnp.sum(field**2, axis=-2)  # [N, mul]
+            else:
+                fn = jnp.mean(field**2, axis=-2)
+            if self.reduce == "mean":
+                fn = segment_mean(fn, batch, num_graphs, mask=node_mask)
+            else:
+                fn = segment_max(fn, batch, num_graphs, mask=node_mask)
+            fn = (fn + self.eps) ** -0.5  # [G, mul]
+            if self.affine:
+                fn = fn * weight[iw : iw + mul]
+                iw += mul
+            field = field * fn[batch][..., None, :]
+            if self.affine and ir.is_scalar():
+                field = field + bias[ib : ib + mul]
+                ib += mul
+            pieces.append(field.reshape(field.shape[:-2] + (mul * ir.dim,)))
+        return jnp.concatenate(pieces, axis=-1).astype(in_dtype)
+
+
 class EquivariantLayerNormV3(nn.Module):
     """Layer norm variant with mean-centering for vectors of ALL degrees
     (reference layer_norm.py:155-232); kept for API completeness — the models
@@ -249,6 +305,9 @@ def get_norm_layer(norm_type: Optional[str]):
         return EquivariantInstanceNorm
     if norm_type == "graph":
         return EquivariantGraphNorm
+    if norm_type == "graph_v2":
+        # superset of the reference selector (which never exposes V2)
+        return EquivariantGraphNormV2
     if norm_type is None:
         return None
     raise ValueError(f"Norm type {norm_type} not supported.")

@@ -135,3 +135,82 @@ def with_grad_accumulation(optimizer: optax.GradientTransformation, every: int):
     if every <= 1:
         return optimizer
     return optax.MultiSteps(optimizer, every_k_schedule=every)
+
+
+def save_results(
+    predictions: Dict[str, "list"],
+    results_dir: str,
+    results_file: str,
+    keys=("energy",),
+    name: str = "is2re",
+    rank: Optional[int] = None,
+    world_size: Optional[int] = None,
+    timeout_s: float = 600.0,
+) -> Optional[str]:
+    """Write this rank's predictions and master-merge across ranks.
+
+    The analog of BaseTrainerV2.save_results
+    (reference oc20/trainer/base_trainer_oc20.py:707-757): every rank writes
+    ``{name}_{results_file}_{rank}.npz`` with ids + prediction arrays; rank 0
+    waits for all rank files, concatenates, dedups by id (the distributed
+    sampler may repeat systems to even out shards), and writes the merged
+    ``{name}_{results_file}.npz``, removing the rank files.  Synchronization
+    uses file existence (no collective needed on the host side).  Returns the
+    merged path on rank 0, else None.
+    """
+    import os
+    import time
+
+    import numpy as np
+
+    if rank is None:
+        rank = jax.process_index()
+    if world_size is None:
+        world_size = jax.process_count()
+    os.makedirs(results_dir, exist_ok=True)
+    rank_path = os.path.join(results_dir, f"{name}_{results_file}_{rank}.npz")
+    tmp = rank_path + ".tmp.npz"
+    np.savez_compressed(
+        tmp, ids=np.asarray(predictions["id"]),
+        **{k: np.asarray(predictions[k]) for k in keys},
+    )
+    os.replace(tmp, rank_path)  # atomic: readers never see partial files
+
+    if rank != 0:
+        return None
+
+    paths = [
+        os.path.join(results_dir, f"{name}_{results_file}_{r}.npz")
+        for r in range(world_size)
+    ]
+    deadline = time.time() + timeout_s
+    while not all(os.path.exists(p) for p in paths):
+        if time.time() > deadline:
+            missing = [p for p in paths if not os.path.exists(p)]
+            raise TimeoutError(f"save_results: missing rank files {missing}")
+        time.sleep(0.5)
+
+    gathered = {"ids": []}
+    for k in keys:
+        gathered[k] = []
+    for p in paths:
+        with np.load(p, allow_pickle=True) as data:
+            gathered["ids"].extend(data["ids"].tolist())
+            for k in keys:
+                gathered[k].extend(data[k].tolist())
+    ids = np.array(gathered["ids"])
+    _, idx = np.unique(ids, return_index=True)
+    merged = {"ids": ids[idx]}
+    for k in keys:
+        arr = np.array(gathered[k])
+        if k == "forces":
+            merged[k] = np.concatenate(arr[idx])
+        elif k == "chunk_idx":
+            merged[k] = np.cumsum(arr[idx])[:-1]
+        else:
+            merged[k] = arr[idx]
+    full_path = os.path.join(results_dir, f"{name}_{results_file}.npz")
+    np.savez_compressed(full_path, **merged)
+    for p in paths:
+        os.remove(p)
+    return full_path

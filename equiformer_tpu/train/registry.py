@@ -2,7 +2,14 @@
 
 The reference uses two registries (nets/registry.py timm-style for models and
 ocpmodels.common.registry for everything else, SURVEY.md §5).  Models use
-models/registry.py; this one covers the rest of the OC20-style surface.
+models/registry.py; this one covers the OC20-style surface, and the OC20 CLI
+dispatches through it (cli/train_oc20.main — the reference's
+main_oc20.py:60-66 pattern: config names the trainer, mode names the task).
+
+Builtins register themselves via decorators where they are defined
+(EnergyTrainerV2 + tasks in cli/train_oc20.py, OC20LmdbDataset in
+data/oc20_lmdb.py, loggers in utils/logger.py + utils/tensorboard.py);
+``get`` imports those modules on first use so lookups always see them.
 """
 
 from __future__ import annotations
@@ -16,6 +23,8 @@ _REGISTRIES: Dict[str, Dict[str, Callable]] = {
     "dataset": {},
 }
 
+_builtins_loaded = False
+
 
 def register(kind: str, name: str):
     def deco(obj):
@@ -25,7 +34,18 @@ def register(kind: str, name: str):
     return deco
 
 
+def _ensure_builtins():
+    global _builtins_loaded
+    if _builtins_loaded:
+        return
+    _builtins_loaded = True
+    from ..cli import train_oc20  # noqa: F401  (trainer + task decorators)
+    from ..data import oc20_lmdb  # noqa: F401  (dataset decorators)
+    from ..utils import logger, tensorboard  # noqa: F401  (logger decorators)
+
+
 def get(kind: str, name: str):
+    _ensure_builtins()
     try:
         return _REGISTRIES[kind][name]
     except KeyError:
@@ -38,26 +58,3 @@ register_trainer = lambda name: register("trainer", name)
 register_task = lambda name: register("task", name)
 register_logger = lambda name: register("logger", name)
 register_dataset = lambda name: register("dataset", name)
-
-
-def _register_builtins():
-    from ..cli import train_oc20 as _oc20
-
-    _REGISTRIES["trainer"].setdefault("energy_v2", _oc20.main)
-    _REGISTRIES["task"].setdefault("train", lambda args: _oc20.main(args))
-
-    from ..utils.logger import FileLogger, MetricsWriter
-
-    _REGISTRIES["logger"].setdefault("file", FileLogger)
-    _REGISTRIES["logger"].setdefault("jsonl", MetricsWriter)
-
-    from ..data.oc20_lmdb import OC20LmdbDataset
-
-    _REGISTRIES["dataset"].setdefault("lmdb_v2", OC20LmdbDataset)
-    _REGISTRIES["dataset"].setdefault("single_point_lmdb_v2", OC20LmdbDataset)
-
-
-try:  # pragma: no cover - registration best-effort at import
-    _register_builtins()
-except Exception:
-    pass

@@ -14,7 +14,10 @@ import sys
 import time
 from typing import Dict, Optional
 
+from ..train.registry import register_logger
 
+
+@register_logger("file")
 class FileLogger:
     def __init__(
         self,
@@ -49,6 +52,7 @@ class FileLogger:
             self._logger.warning(msg, *args)
 
 
+@register_logger("jsonl")
 class MetricsWriter:
     """JSONL metrics sink (one line per logged step) — greppable, and easy to
     feed into tensorboard/wandb exporters later."""

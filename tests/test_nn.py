@@ -195,3 +195,36 @@ def test_concat_irreps_alignment():
         jnp.asarray(transform(irr2, np.asarray(x2), R)),
     )
     assert np.max(np.abs(np.asarray(o2) - transform(irr_out, np.asarray(out), R))) < 1e-8
+
+
+def test_graph_norm_v2_equivariance_and_init():
+    """GraphNormV2 (reference graph_norm.py:141-238): learnable mean-shift on
+    every irrep; at init (ones on even scalars, zeros elsewhere) it must match
+    instance-norm-with-scalar-centering, and stay equivariant with a nonzero
+    shift on l>0 blocks."""
+    from equiformer_tpu.nn import EquivariantGraphNormV2, EquivariantInstanceNorm
+
+    gn = EquivariantGraphNormV2(IRR)
+    n, g = 10, 3
+    x = jnp.asarray(RNG.normal(size=(n, IRR.dim)))
+    batch = jnp.asarray(np.array([0, 0, 0, 0, 1, 1, 1, 2, 2, 2]))
+    mask = jnp.asarray(np.ones(n, bool))
+    params = gn.init(jax.random.PRNGKey(0), x, batch=batch, node_mask=mask, num_graphs=g)
+
+    # at init == instance norm (mean_shift is 1 on even scalars, 0 on l>0)
+    inorm = EquivariantInstanceNorm(IRR)
+    iparams = inorm.init(jax.random.PRNGKey(0), x, batch=batch, node_mask=mask, num_graphs=g)
+    out_v2 = np.asarray(gn.apply(params, x, batch=batch, node_mask=mask, num_graphs=g))
+    out_in = np.asarray(inorm.apply(iparams, x, batch=batch, node_mask=mask, num_graphs=g))
+    assert np.max(np.abs(out_v2 - out_in)) < 1e-6
+
+    # perturb mean_shift so l>0 centering is active, then check equivariance
+    import flax
+
+    p = flax.core.unfreeze(params)
+    p["params"]["mean_shift"] = p["params"]["mean_shift"] + 0.37
+    fn = lambda z: gn.apply(p, z, batch=batch, node_mask=mask, num_graphs=g)
+    out = np.asarray(fn(x))
+    R = random_rotation(RNG)
+    out_r = np.asarray(fn(jnp.asarray(transform(IRR, np.asarray(x), R))))
+    assert np.max(np.abs(out_r - transform(IRR, out, R))) < 1e-6

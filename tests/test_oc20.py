@@ -249,3 +249,101 @@ def test_trainer_registry():
 
     with _pytest.raises(KeyError):
         get("trainer", "nope")
+
+
+def test_tensorboard_writer_roundtrip(tmp_path):
+    """TFEvents writer: crc32c known-answer + write/parse round trip."""
+    from equiformer_tpu.utils.tensorboard import (
+        TensorboardWriter,
+        crc32c,
+        read_events,
+    )
+
+    # public CRC-32C test vector (RFC 3720 / golang hash/crc32 Castagnoli)
+    assert crc32c(b"123456789") == 0xE3069283
+
+    logdir = str(tmp_path / "tb")
+    with TensorboardWriter(logdir) as tb:
+        tb.add_scalars(1, {"loss": 0.5, "mae": 2.0})
+        tb.add_scalars(2, {"loss": 0.25})
+        tb.add_scalar("lr", 1e-3, 3)
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_events(files[0])
+    # first record is the file_version header
+    assert events[0][2] == {}
+    assert events[1][0] == 1 and abs(events[1][2]["loss"] - 0.5) < 1e-7
+    assert abs(events[1][2]["mae"] - 2.0) < 1e-7
+    assert events[2][0] == 2 and abs(events[2][2]["loss"] - 0.25) < 1e-7
+    assert events[3][0] == 3 and abs(events[3][2]["lr"] - 1e-3) < 1e-9
+
+    # disabled writer writes nothing and tolerates calls
+    tb2 = TensorboardWriter(str(tmp_path / "tb2"), enabled=False)
+    tb2.add_scalars(1, {"x": 1.0})
+    tb2.close()
+    assert not os.path.exists(str(tmp_path / "tb2"))
+
+
+def test_export_jsonl_to_tensorboard(tmp_path):
+    from equiformer_tpu.utils.tensorboard import export_jsonl, read_events
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "metrics.jsonl").write_text(
+        '{"step": 1, "loss": 1.5, "time": 99.0}\n{"step": 2, "loss": 0.75}\n'
+    )
+    out = export_jsonl(str(run))
+    import glob
+    import os
+
+    (f,) = glob.glob(os.path.join(out, "events.out.tfevents.*"))
+    events = [e for e in read_events(f) if e[2]]
+    assert [e[0] for e in events] == [1, 2]
+    assert "time" not in events[0][2]
+
+
+def test_save_results_merge(tmp_path):
+    """Cross-rank predict merge (reference base_trainer_oc20.py:707-757):
+    rank files concatenated, deduped by id, rank files removed."""
+    import os
+
+    import numpy as np
+
+    from equiformer_tpu.train.oc20_engine import save_results
+
+    d = str(tmp_path)
+    # simulate rank 1 having written first (with an overlapping id, as the
+    # distributed sampler pads shards by repeating systems)
+    save_results({"id": ["2", "3", "0"], "energy": [2.0, 3.0, 99.0]}, d,
+                 "predictions", rank=1, world_size=2)
+    merged = save_results({"id": ["0", "1"], "energy": [0.0, 1.0]}, d,
+                          "predictions", rank=0, world_size=2)
+    assert merged is not None and os.path.exists(merged)
+    with np.load(merged, allow_pickle=True) as data:
+        ids = [str(i) for i in data["ids"]]
+        assert ids == ["0", "1", "2", "3"]
+        np.testing.assert_allclose(data["energy"], [0.0, 1.0, 2.0, 3.0])
+    assert not os.path.exists(os.path.join(d, "is2re_predictions_0.npz"))
+    assert not os.path.exists(os.path.join(d, "is2re_predictions_1.npz"))
+
+
+def test_oc20_cli_registry_dispatch(tmp_path):
+    """End-to-end: the CLI resolves trainer + task via the registry, trains a
+    synthetic epoch, and predict writes a merged npz with ids."""
+    import numpy as np
+
+    from equiformer_tpu.cli.train_oc20 import get_args, main
+
+    out = str(tmp_path / "run")
+    argv = ["--synthetic", "--epochs", "1", "--output-dir", out,
+            "--override", "model.num_layers=1", "model.irreps_node_embedding=32x0e+16x1e",
+            "model.irreps_feature=64x0e", "model.irreps_head=8x0e+4x1e",
+            "model.irreps_mlp_mid=48x0e+24x1e", "model.number_of_basis=16",
+            "model.fc_neurons=[16,16]", "optim.batch_size=16"]
+    main(get_args(argv))
+    pred_path = main(get_args(argv + ["--mode", "predict"]))
+    with np.load(pred_path, allow_pickle=True) as data:
+        assert len(data["ids"]) == len(data["energy"]) == 64
