@@ -40,14 +40,9 @@ class RadialProfile(nn.Module):
             name="net",
         )(x)
         if self.use_offset:
-            fan_in = self.features[-2] if len(self.features) >= 2 else 1
-            bound = 1.0 / math.sqrt(fan_in)
+            # reference inits the offset to zero (radial_func.py:39-41)
             offset = self.param(
-                "offset",
-                lambda key, shape: jax.random.uniform(
-                    key, shape, jnp.float32, -bound, bound
-                ),
-                (self.features[-1],),
+                "offset", nn.initializers.zeros, (self.features[-1],)
             )
             out = out + offset.astype(out.dtype)
         return out

@@ -223,7 +223,7 @@ class SeparableFCTP(nn.Module):
     irreps_node: Irreps
     irreps_edge: Irreps
     irreps_out: Irreps
-    fc_neurons: Optional[Tuple[int, ...]] = None  # radial MLP hidden dims (incl. input dim)
+    fc_neurons: Optional[Tuple[int, ...]] = None  # [input dim] + hidden dims (ref ch_list)
     use_activation: bool = False
     norm_layer: Optional[str] = None
     internal_weights: bool = False
@@ -243,8 +243,10 @@ class SeparableFCTP(nn.Module):
             Irreps(self.irreps_node), Irreps(self.irreps_edge), irreps_out
         )
         if self.fc_neurons is not None:
+            # fc_neurons[0] is the INPUT width (reference RadialProfile ch_list
+            # semantics, radial_func.py:10-27): layers are fc_neurons[1:] + out
             self.dtp_rad = RadialProfile(
-                features=tuple(self.fc_neurons) + (plan.weight_numel,)
+                features=tuple(self.fc_neurons[1:]) + (plan.weight_numel,)
             )
         scalars, gates, gated = irreps2gate(irreps_out)
         if self.use_activation:
@@ -363,7 +365,7 @@ class EdgeDegreeEmbedding(nn.Module):
             higher_order_grads=self.higher_order_grads,
         )
         plan = depthwise_tp(irreps_out, Irreps(self.irreps_edge), irreps_out)
-        self.rad = RadialProfile(features=tuple(self.fc_neurons) + (plan.weight_numel,))
+        self.rad = RadialProfile(features=tuple(self.fc_neurons[1:]) + (plan.weight_numel,))
         self.proj = IrrepsLinear(plan.irreps_out, irreps_out, name="proj")
         self._fused_plan, self._fused = _make_fused_plan(
             plan, [irreps_out], False, self.higher_order_grads
