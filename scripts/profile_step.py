@@ -50,6 +50,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--bf16", action="store_true", help="model compute in bfloat16")
+    ap.add_argument("--kernels-only", action="store_true",
+                    help="skip the micro benches, profile only the model step")
     args = ap.parse_args()
 
     from equiformer_tpu.core import Irreps, depthwise_tp, spherical_harmonics
@@ -74,6 +77,10 @@ def main():
     b = next(iter(loader))
     import jax.tree_util as jtu
     b = jtu.tree_map(jnp.asarray, b)
+
+    if args.kernels_only:
+        _model_section(args, b, bs, slots, edge_cap)
+        return
 
     rg = jax.jit(lambda pos: radius_graph_dense(pos, b.node_mask, bs, 5.0, edge_cap))
     print(f"radius_graph_dense: {timeit(rg, b.pos):8.2f} ms")
@@ -120,9 +127,19 @@ def main():
     smax = jax.jit(lambda a: segment_softmax(a, edges.dst, node_cap, mask=edges.mask))
     print(f"segment softmax   : {timeit(smax, alpha):8.2f} ms")
 
+    _model_section(args, b, bs, slots, edge_cap)
+
+
+def _model_section(args, b, bs, slots, edge_cap):
+    from equiformer_tpu.models import model_entrypoint
+    from equiformer_tpu.train import (
+        TrainState, cosine_warmup_schedule, create_optimizer, make_qm9_steps,
+    )
+
     model = model_entrypoint("graph_attention_transformer_nonlinear_l2")(
         radius=5.0, num_basis=128, max_edges=edge_cap, remat=args.remat,
         nodes_per_graph=slots,
+        compute_dtype="bfloat16" if args.bf16 else None,
     )
     params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
     fwd = jax.jit(lambda p, b: model.apply(p, b, deterministic=True))

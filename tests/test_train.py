@@ -30,7 +30,9 @@ def _tiny_model():
         irreps_sh=Irreps("1x0e+1x1e"),
         max_radius=3.0,
         number_of_basis=8,
-        fc_neurons=(8,),
+        # (input dim excluded: fc_neurons[0] is the RBF width per reference
+        # ch_list semantics) -> two 8-wide hidden layers like round-1
+        fc_neurons=(8, 8),
         irreps_feature=Irreps("32x0e"),
         irreps_head=Irreps("4x0e+2x1e"),
         num_heads=2,
