@@ -43,6 +43,12 @@ from .dtp_pallas import _plan_terms
 LANE = 128
 
 
+def _lane_pack_enabled() -> bool:
+    import os
+
+    return os.environ.get("EQUIFORMER_TPU_LANE_PACK", "1") not in ("0", "false")
+
+
 class _Group(NamedTuple):
     ir: object  # Irrep
     blocks: Tuple[int, ...]  # plan.irreps_out block indices
@@ -67,26 +73,47 @@ class DTPLinPlan:
         head_irreps: Sequence[Irreps],
         fold_rescale: bool = True,
         shared_weights: bool = False,
+        needs_dsh: bool = True,
+        tile: int = 128,
     ):
         self.tp = tp
         self.shared_weights = shared_weights
+        # sh is pure geometry (edge vectors); models that never differentiate
+        # wrt positions (QM9/OC20 - exactly the users of this first-order
+        # path) can skip the dsh transpose entirely and take a zero cotangent
+        self.needs_dsh = needs_dsh
+        self.tile = tile
         self.head_irreps = [Irreps(h) for h in head_irreps]
         terms = _plan_terms(tp, fold_rescale)
 
-        # ---- 128-aligned slot layouts for x and w
+        # ---- lane packing: a block with mul < 128 occupies only mul of a
+        # slot's 128 lanes; pack p = 128//mul row-groups of edges side by
+        # side so every FMA runs with full lanes (p capped so each packed
+        # row-group keeps >= 16 sublanes for bf16 tiling)
+        def _pack(mul):
+            if not _lane_pack_enabled():
+                return 1
+            if mul >= LANE or LANE % mul != 0:
+                return 1
+            p = LANE // mul
+            while p > 1 and tile // p < 16:
+                p //= 2
+            return p
+
+        # ---- 128-aligned slot layouts for x and w: (lane offset, mul, pack)
         self.x_slots = {}
         acc = 0
         in_slices = tp.irreps_in1.slices()
         for bi, (mul, ir) in enumerate(tp.irreps_in1):
             for c in range(ir.dim):
-                self.x_slots[in_slices[bi].start + c * mul] = (acc, mul)
+                self.x_slots[in_slices[bi].start + c * mul] = (acc, mul, _pack(mul))
                 acc += LANE
         self.d_x_al = acc
         self.w_slots = {}
         acc = 0
         for ii, ins in enumerate(tp.instructions):
             mul = tp.irreps_in1[ins.i_in1].mul
-            self.w_slots[tp._offsets[ii]] = (acc, mul)
+            self.w_slots[tp._offsets[ii]] = (acc, mul, _pack(mul))
             acc += LANE
         self.d_w_al = acc
         self.d_x = tp.irreps_in1.dim
@@ -226,31 +253,90 @@ class DTPLinPlan:
 # ------------------------------------------------------------------ kernels
 
 
-def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow):
-    """Copy x and w into the 128-aligned slot scratches (pad lanes zeroed so
-    they stay finite through the FMA phase)."""
+def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow, T):
+    """Copy x and w into the 128-aligned slot scratches.
+
+    Packed slots (p > 1) lay p contiguous row-groups of T/p edges side by
+    side on the lanes, so the FMA phase runs with all 128 lanes busy; p == 1
+    slots keep the plain layout with zeroed pad lanes."""
     x_al[:] = jnp.zeros_like(x_al)
     w_al[:] = jnp.zeros_like(w_al)
-    for off, (slot, mul) in plan.x_slots.items():
-        x_al[:, slot : slot + mul] = x_ref[:, off : off + mul]
-    for off, (slot, mul) in plan.w_slots.items():
-        w_al[:, slot : slot + mul] = w_ref[wrow, off : off + mul]
+    shared = plan.shared_weights
+    for off, (slot, mul, p) in plan.x_slots.items():
+        if p == 1:
+            x_al[:, slot : slot + mul] = x_ref[:, off : off + mul]
+        else:
+            r = T // p
+            for g in range(p):
+                x_al[:r, slot + g * mul : slot + (g + 1) * mul] = x_ref[
+                    g * r : (g + 1) * r, off : off + mul
+                ]
+    for off, (slot, mul, p) in plan.w_slots.items():
+        if p == 1 or shared:
+            for g in range(1 if p == 1 else p):
+                w_al[:, slot + g * mul : slot + (g + 1) * mul] = w_ref[
+                    wrow, off : off + mul
+                ]
+        else:
+            r = T // p
+            for g in range(p):
+                w_al[:r, slot + g * mul : slot + (g + 1) * mul] = w_ref[
+                    g * r : (g + 1) * r, off : off + mul
+                ]
+
+
+def _packed_col(plan, cols, colcache, col_off, p, mul, T):
+    """Per-edge sh column in the packed row-group layout [T/p, p*mul]
+    (group width is the slot's mul, which can be < 128//p when the pack
+    factor was capped for sublane tiling)."""
+    key = (col_off, p, mul)
+    if key not in colcache:
+        if p == 1:
+            colcache[key] = cols[:, col_off : col_off + 1]
+        else:
+            r = T // p
+            colcache[key] = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        cols[g * r : (g + 1) * r, col_off : col_off + 1], (r, mul)
+                    )
+                    for g in range(p)
+                ],
+                axis=1,
+            )
+    return colcache[key]
 
 
 def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
     """The DTP FMA phase: accumulate z into the per-group aligned scratches.
-    Terms are grouped by z slot so the per-path weight multiplies once."""
+    Terms are grouped by z slot so the per-path weight multiplies once; packed
+    slots do the work on T/p rows with full lanes, then unpack into z's
+    edge-major rows for the MXU phase."""
     slot_acc = {}
+    colcache = {}
     for t, (gi, k, fc) in plan._terms:
-        col = cols[:, t.col_off : t.col_off + 1]
-        xs, _ = plan.x_slots[t.a_off]
-        a = x_al[:, xs : xs + LANE]
-        v = (t.coeff * col) * a
+        xs, mul, p = plan.x_slots[t.a_off]
+        r = T // p
+        cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
+        lanes = LANE if p == 1 else p * mul
+        a = x_al[:r, xs : xs + lanes]
+        v = (t.coeff * cp) * a
         key = (gi, k, fc, t.b_off)
         slot_acc[key] = v if key not in slot_acc else slot_acc[key] + v
+    shared = plan.shared_weights
     for (gi, k, fc, b_off), acc in slot_acc.items():
-        ws, _ = plan.w_slots[b_off]
-        z_scr[gi][k * T : (k + 1) * T, fc : fc + LANE] = acc * w_al[:, ws : ws + LANE]
+        ws, mul, p = plan.w_slots[b_off]
+        r = T // p
+        lanes = LANE if p == 1 else p * mul
+        wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
+        val = acc * wv
+        if p == 1:
+            z_scr[gi][k * T : (k + 1) * T, fc : fc + LANE] = val
+        else:
+            for g in range(p):
+                z_scr[gi][
+                    k * T + g * r : k * T + (g + 1) * r, fc : fc + mul
+                ] = val[:, g * mul : (g + 1) * mul]
 
 
 def _fwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
@@ -260,7 +346,15 @@ def _fwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
     x_al, w_al = rest[nG + 1], rest[nG + 2]
     z_scr = rest[nG + 3 :]
     wrow = slice(None) if not plan.shared_weights else slice(0, 1)
-    _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow)
+
+    # packed slots write only fc:fc+mul lanes of z; the pad lanes must hold
+    # zeros (not uninitialized VMEM) so the MXU sees 0 * W's zero rows
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for zs in z_scr:
+            zs[:] = jnp.zeros_like(zs)
+
+    _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
     _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
     for gi, g in enumerate(plan.groups):
         res = jnp.dot(
@@ -288,7 +382,13 @@ def _bwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     wrow = slice(None) if not plan.shared_weights else slice(0, 1)
-    _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow)
+
+    @pl.when(i == 0)
+    def _():
+        for zs in z_scr:
+            zs[:] = jnp.zeros_like(zs)
+
+    _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
     cols = sh_ref[:]
     # recompute z (remat: cheaper than a 3136-wide HBM round trip)
     _fma_z(plan, cols, x_al, w_al, z_scr, T)
@@ -326,50 +426,103 @@ def _bwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
     #   dw[p]  += c * sh[j] * x[i] * dz[k]
     #   dsh[j] += c * sum_lanes x[i] * w[p] * dz[k]
     dx_acc, dw_acc, dsh_acc = {}, {}, {}
+    colcache, dzcache = {}, {}
+    shared = plan.shared_weights
     for t, (gi, k, fc) in plan._terms:
-        dz = dz_scr[gi][k * T : (k + 1) * T, fc : fc + LANE]
-        col = cols[:, t.col_off : t.col_off + 1]
-        xs, _ = plan.x_slots[t.a_off]
-        ws, _ = plan.w_slots[t.b_off]
-        xv = x_al[:, xs : xs + LANE]
-        wv = w_al[:, ws : ws + LANE]
-        ccol = t.coeff * col
+        xs, mul, p = plan.x_slots[t.a_off]
+        ws, _, _ = plan.w_slots[t.b_off]
+        r = T // p
+        zkey = (gi, k, fc, p)
+        if zkey not in dzcache:
+            if p == 1:
+                dzcache[zkey] = dz_scr[gi][k * T : (k + 1) * T, fc : fc + LANE]
+            else:
+                dzcache[zkey] = jnp.concatenate(
+                    [
+                        dz_scr[gi][
+                            k * T + g * r : k * T + (g + 1) * r, fc : fc + mul
+                        ]
+                        for g in range(p)
+                    ],
+                    axis=1,
+                )
+        dz = dzcache[zkey]
+        cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
+        lanes = LANE if p == 1 else p * mul
+        xv = x_al[:r, xs : xs + lanes]
+        wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
+        ccol = t.coeff * cp
         wdz = wv * dz
         xdz = xv * dz
         dx_acc[xs] = dx_acc.get(xs, 0.0) + ccol * wdz
         dw_acc[ws] = dw_acc.get(ws, 0.0) + ccol * xdz
-        dsh_acc[t.col_off] = dsh_acc.get(t.col_off, 0.0) + t.coeff * (xv * wdz)
+        if plan.needs_dsh:
+            dsh_acc[(t.col_off, p, mul)] = (
+                dsh_acc.get((t.col_off, p, mul), 0.0) + t.coeff * (xv * wdz)
+            )
     dx_ref[:] = jnp.zeros_like(dx_ref)
-    for off, (slot, mul) in plan.x_slots.items():
-        if slot in dx_acc:
-            dx_ref[:, off : off + mul] = dx_acc[slot][:, :mul].astype(dx_ref.dtype)
+    for off, (slot, mul, p) in plan.x_slots.items():
+        if slot not in dx_acc:
+            continue
+        acc = dx_acc[slot]
+        if p == 1:
+            dx_ref[:, off : off + mul] = acc[:, :mul].astype(dx_ref.dtype)
+        else:
+            r = T // p
+            for g in range(p):
+                dx_ref[g * r : (g + 1) * r, off : off + mul] = acc[
+                    :, g * mul : (g + 1) * mul
+                ].astype(dx_ref.dtype)
     dsh_ref[:] = jnp.zeros_like(dsh_ref)
-    for j, acc in dsh_acc.items():
-        dsh_ref[:, j : j + 1] = jnp.sum(acc, axis=1, keepdims=True).astype(
-            dsh_ref.dtype
-        )
+    for (j, p, mul), acc in dsh_acc.items():
+        if p == 1:
+            dsh_ref[:, j : j + 1] += jnp.sum(acc, axis=1, keepdims=True).astype(
+                dsh_ref.dtype
+            )
+        else:
+            r = T // p
+            for g in range(p):
+                dsh_ref[g * r : (g + 1) * r, j : j + 1] += jnp.sum(
+                    acc[:, g * mul : (g + 1) * mul], axis=1, keepdims=True
+                ).astype(dsh_ref.dtype)
     if not plan.shared_weights:
         dw_ref[:] = jnp.zeros_like(dw_ref)
-        for off, (slot, mul) in plan.w_slots.items():
-            if slot in dw_acc:
-                dw_ref[:, off : off + mul] = dw_acc[slot][:, :mul].astype(
-                    dw_ref.dtype
-                )
+        for off, (slot, mul, p) in plan.w_slots.items():
+            if slot not in dw_acc:
+                continue
+            acc = dw_acc[slot]
+            if p == 1:
+                dw_ref[:, off : off + mul] = acc[:, :mul].astype(dw_ref.dtype)
+            else:
+                r = T // p
+                for g in range(p):
+                    dw_ref[g * r : (g + 1) * r, off : off + mul] = acc[
+                        :, g * mul : (g + 1) * mul
+                    ].astype(dw_ref.dtype)
     else:
-        # accumulate the shared-weight cotangent across rows and grid cells
+        # accumulate the shared-weight cotangent across rows, lane groups,
+        # and grid cells
         @pl.when(i == 0)
         def _():
             dwa_scr[:] = jnp.zeros_like(dwa_scr)
 
         for slot, acc in dw_acc.items():
-            dwa_scr[:, slot : slot + LANE] += jnp.sum(
-                acc, axis=0, keepdims=True
-            ).astype(dwa_scr.dtype)
+            _, mul, p = next(
+                v for v in plan.w_slots.values() if v[0] == slot
+            )
+            rowsum = jnp.sum(acc, axis=0, keepdims=True)
+            if p == 1:
+                dwa_scr[:, slot : slot + LANE] += rowsum.astype(dwa_scr.dtype)
+            else:
+                total = rowsum[:, 0:mul]
+                for g in range(1, p):
+                    total = total + rowsum[:, g * mul : (g + 1) * mul]
+                dwa_scr[:, slot : slot + mul] += total.astype(dwa_scr.dtype)
 
         @pl.when(i == n - 1)
         def _():
             dw_ref[:] = jnp.zeros_like(dw_ref)
-            for off, (slot, mul) in plan.w_slots.items():
+            for off, (slot, mul, p) in plan.w_slots.items():
                 dw_ref[:, off : off + mul] = dwa_scr[:, slot : slot + mul].astype(
                     dw_ref.dtype
                 )

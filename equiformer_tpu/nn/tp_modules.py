@@ -137,6 +137,9 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
             head_irreps,
             fold_rescale=not internal_weights,
             shared_weights=internal_weights,
+            # this path only serves higher_order_grads=False models, which
+            # never differentiate wrt positions: skip the dsh transpose
+            needs_dsh=False,
         )
         return fplan, make_fused_dtp_lin(fplan)
     except (ValueError, AssertionError):
