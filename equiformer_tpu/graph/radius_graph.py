@@ -45,7 +45,10 @@ def radius_graph(
     adj &= node_mask[:, None] & node_mask[None, :]
     if not loop:
         adj &= ~jnp.eye(n, dtype=bool)
-    src, dst = jnp.nonzero(adj, size=max_edges, fill_value=0)
+    # dst on the row index -> dst-sorted edges (see radius_graph_dense note).
+    # Padding fills with the LAST node index so the dst sequence stays
+    # non-decreasing — required for the indices_are_sorted segment lowering.
+    dst, src = jnp.nonzero(adj, size=max_edges, fill_value=n - 1)
     num = jnp.sum(adj)
     mask = jnp.arange(max_edges) < num
     return EdgeList(src.astype(jnp.int32), dst.astype(jnp.int32), mask)
@@ -76,9 +79,15 @@ def radius_graph_dense(
     adj &= maskg[:, :, None] & maskg[:, None, :]
     if not loop:
         adj &= ~jnp.eye(M, dtype=bool)[None]
-    g, i, j = jnp.nonzero(adj, size=max_edges, fill_value=0)
-    src = (g * M + i).astype(jnp.int32)
-    dst = (g * M + j).astype(jnp.int32)
+    # enumerate with dst on the outer (row) index: nonzero is row-major, so
+    # edges come out dst-sorted — segment reductions then take the sorted
+    # lowering, and dst-gathers get locality.  The edge SET is unchanged
+    # (radius adjacency is symmetric; both ordered directions are present).
+    # Padding fills with the LAST (graph, node) slot so dst stays
+    # non-decreasing — required for the indices_are_sorted segment lowering.
+    g, i, j = jnp.nonzero(adj, size=max_edges, fill_value=(graphs - 1, M - 1, M - 1))
+    dst = (g * M + i).astype(jnp.int32)
+    src = (g * M + j).astype(jnp.int32)
     num = jnp.sum(adj)
     mask = jnp.arange(max_edges) < num
     return EdgeList(src, dst, mask)

@@ -15,42 +15,52 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_sum(data, segment_ids, num_segments: int, mask=None):
-    """Sum ``data`` [E, ...] into ``num_segments`` rows by ``segment_ids``."""
+def segment_sum(data, segment_ids, num_segments: int, mask=None, sorted: bool = False):
+    """Sum ``data`` [E, ...] into ``num_segments`` rows by ``segment_ids``.
+
+    ``sorted=True`` asserts segment_ids are non-decreasing (dst-sorted edges
+    from the radius-graph builders, or node batch ids from collate) so XLA
+    can use the cheaper sorted-segment lowering."""
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=sorted)
 
 
-def segment_mean(data, segment_ids, num_segments: int, mask=None, eps: float = 1e-12):
-    total = segment_sum(data, segment_ids, num_segments, mask)
+def segment_mean(data, segment_ids, num_segments: int, mask=None, eps: float = 1e-12,
+                 sorted: bool = False):
+    total = segment_sum(data, segment_ids, num_segments, mask, sorted=sorted)
     if mask is None:
         count = jax.ops.segment_sum(
-            jnp.ones(data.shape[:1], data.dtype), segment_ids, num_segments
+            jnp.ones(data.shape[:1], data.dtype), segment_ids, num_segments,
+            indices_are_sorted=sorted,
         )
     else:
         count = jax.ops.segment_sum(
-            mask.astype(data.dtype), segment_ids, num_segments
+            mask.astype(data.dtype), segment_ids, num_segments,
+            indices_are_sorted=sorted,
         )
     count = jnp.maximum(count, eps)
     return total / _expand_to(count, total)
 
 
-def segment_max(data, segment_ids, num_segments: int, mask=None):
+def segment_max(data, segment_ids, num_segments: int, mask=None, sorted: bool = False):
     if mask is not None:
         neg = jnp.asarray(jnp.finfo(data.dtype).min, data.dtype)
         data = jnp.where(_expand(mask, data), data, neg)
-    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=sorted)
 
 
-def segment_softmax(scores, segment_ids, num_segments: int, mask=None):
+def segment_softmax(scores, segment_ids, num_segments: int, mask=None,
+                    sorted: bool = False):
     """Numerically stable softmax of ``scores`` [E, ...] grouped by segment.
 
     Equivalent of ``torch_geometric.utils.softmax(alpha, edge_dst)``
     (graph_attention_transformer.py:508) with padding: masked-out entries get
     probability 0; empty segments produce all-zero probabilities.
     """
-    m = segment_max(scores, segment_ids, num_segments, mask)
+    m = segment_max(scores, segment_ids, num_segments, mask, sorted=sorted)
     m = jnp.where(jnp.isfinite(m), m, 0)  # empty segments -> shift of 0
     shifted = scores - m[segment_ids]
     if mask is not None:
@@ -61,25 +71,28 @@ def segment_softmax(scores, segment_ids, num_segments: int, mask=None):
         ex = jnp.where(emask, jnp.exp(shifted), 0)
     else:
         ex = jnp.exp(shifted)
-    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
+    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments,
+                                indices_are_sorted=sorted)
     denom = jnp.maximum(denom, jnp.asarray(1e-16, scores.dtype))
     return ex / denom[segment_ids]
 
 
-def degree(segment_ids, num_segments: int, mask=None, dtype=jnp.float32):
+def degree(segment_ids, num_segments: int, mask=None, dtype=jnp.float32,
+           sorted: bool = False):
     """In-degree per node (torch_geometric.utils.degree equivalent)."""
     ones = jnp.ones(segment_ids.shape, dtype)
     if mask is not None:
         ones = jnp.where(mask, ones, 0)
-    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=sorted)
 
 
-def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: float, mask=None):
+def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: float, mask=None, sorted: bool = False):
     """Degree-normalized aggregation: segment-sum / sqrt(avg_aggregate_num).
 
     Reference ``ScaledScatter`` (graph_attention_transformer.py:693-706).
     """
-    return segment_sum(data, segment_ids, num_segments, mask) / (
+    return segment_sum(data, segment_ids, num_segments, mask, sorted=sorted) / (
         avg_aggregate_num ** 0.5
     )
 

@@ -153,8 +153,19 @@ class DTPLinPlan:
             if cols == 0:
                 continue  # dead z irrep: no head consumes it -> skip its FMAs
             bos = tuple(by_ir[ir])
-            fan_slot = {bo: LANE * i for i, bo in enumerate(bos)}
-            g = _Group(ir, bos, fan_slot, LANE * len(bos), cols, out_off)
+            # compact fan layout: lane-packed blocks (whose z writes are
+            # exact [fc:fc+mul] sub-slices) sit back-to-back at their real
+            # mul instead of one 128-lane slot each — halves the MXU K dim
+            # and the W VMEM; unpacked blocks with mul<128 still get a full
+            # LANE slot because their z write covers LANE lanes (zero pad)
+            fan_slot = {}
+            acc = 0
+            for bo in bos:
+                m = tp.irreps_out[bo].mul
+                fan_slot[bo] = acc
+                acc += m if (_pack(m) > 1 or m >= LANE) else LANE
+            fan_pad = ((acc + LANE - 1) // LANE) * LANE
+            g = _Group(ir, bos, fan_slot, fan_pad, cols, out_off)
             self.groups.append(g)
             out_off += ir.dim * cols
         self.d_out = out_off
@@ -259,9 +270,15 @@ def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow, T):
     Packed slots (p > 1) lay p contiguous row-groups of T/p edges side by
     side on the lanes, so the FMA phase runs with all 128 lanes busy; p == 1
     slots keep the plain layout with zeroed pad lanes."""
-    x_al[:] = jnp.zeros_like(x_al)
-    w_al[:] = jnp.zeros_like(w_al)
     shared = plan.shared_weights
+    # pad lanes only exist when a slot is not fully packed (p*mul < 128);
+    # zero just those slots once instead of the whole scratch every tile
+    for off, (slot, mul, p) in plan.x_slots.items():
+        if p * mul < LANE:
+            x_al[:, slot : slot + LANE] = jnp.zeros_like(x_al[:, slot : slot + LANE])
+    for off, (slot, mul, p) in plan.w_slots.items():
+        if p * mul < LANE:
+            w_al[:, slot : slot + LANE] = jnp.zeros_like(w_al[:, slot : slot + LANE])
     for off, (slot, mul, p) in plan.x_slots.items():
         if p == 1:
             x_al[:, slot : slot + mul] = x_ref[:, off : off + mul]
@@ -451,14 +468,13 @@ def _bwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
         lanes = LANE if p == 1 else p * mul
         xv = x_al[:r, xs : xs + lanes]
         wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
-        ccol = t.coeff * cp
-        wdz = wv * dz
-        xdz = xv * dz
-        dx_acc[xs] = dx_acc.get(xs, 0.0) + ccol * wdz
-        dw_acc[ws] = dw_acc.get(ws, 0.0) + ccol * xdz
+        # factor c*col*dz once; dx and dw are one FMA each off it
+        cdz = (t.coeff * cp) * dz
+        dx_acc[xs] = dx_acc.get(xs, 0.0) + cdz * wv
+        dw_acc[ws] = dw_acc.get(ws, 0.0) + cdz * xv
         if plan.needs_dsh:
             dsh_acc[(t.col_off, p, mul)] = (
-                dsh_acc.get((t.col_off, p, mul), 0.0) + t.coeff * (xv * wdz)
+                dsh_acc.get((t.col_off, p, mul), 0.0) + t.coeff * (xv * (wv * dz))
             )
     dx_ref[:] = jnp.zeros_like(dx_ref)
     for off, (slot, mul, p) in plan.x_slots.items():

@@ -157,7 +157,7 @@ class EquiformerDeNS(nn.Module):
             x = jnp.where(graphs.extras["denoising_pos_mask"][:, None], 0.0, x)
         energy = scaled_scatter_sum(
             x, batch, num_graphs, self.avg_num_nodes, mask=node_mask
-        )[:, 0]
+        , sorted=True)[:, 0]
 
         # denoising position head (:157-173): parity follows the inputs irreps
         out_ir = "1x1e" if ("1e" in [str(mi.ir) for mi in eq_in]) else "1x1o"

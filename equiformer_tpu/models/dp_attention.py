@@ -89,7 +89,7 @@ class DotProductAttention(nn.Module):
         v = kv[:, H:, :]
 
         alpha = jnp.einsum("ehk,ehk->eh", q[edges.dst], k)
-        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask)
+        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask, sorted=True)
         if self.alpha_drop != 0.0 and not deterministic:
             rng = self.make_rng("dropout")
             keep = 1.0 - self.alpha_drop
@@ -97,11 +97,11 @@ class DotProductAttention(nn.Module):
             alpha = alpha * m.astype(alpha.dtype) / keep
 
         attn = v * alpha[..., None]
-        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask)
+        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True)
         attn = heads2vec(head, attn)
 
         if self.rescale_degree:
-            deg = degree(edges.dst, num_nodes, mask=edges.mask, dtype=attn.dtype)
+            deg = degree(edges.dst, num_nodes, mask=edges.mask, dtype=attn.dtype, sorted=True)
             attn = attn * deg[:, None] / self.avg_degree
 
         out = self.proj(attn)

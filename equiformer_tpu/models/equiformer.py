@@ -156,7 +156,7 @@ class GraphAttention(nn.Module):
 
         alpha = self.alpha_act(alpha)
         alpha = jnp.einsum("ehk,hk->eh", alpha, self.alpha_dot.astype(alpha.dtype))
-        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask)
+        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask, sorted=True)
         if self.alpha_drop != 0.0 and not deterministic:
             rng = self.make_rng("dropout")
             keep = 1.0 - self.alpha_drop
@@ -164,11 +164,11 @@ class GraphAttention(nn.Module):
             alpha = alpha * m.astype(alpha.dtype) / keep
 
         attn = value * alpha[..., None]
-        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask)
+        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True)
         attn = heads2vec(head, attn)
 
         if self.rescale_degree:
-            deg = degree(edges.dst, num_nodes, mask=edges.mask, dtype=attn.dtype)
+            deg = degree(edges.dst, num_nodes, mask=edges.mask, dtype=attn.dtype, sorted=True)
             attn = attn * deg[:, None]
 
         out = self.proj(attn)
@@ -465,10 +465,10 @@ class GraphAttentionTransformer(nn.Module):
 
         x = x.astype(pos.dtype)  # accumulate the readout in fp32
         outputs = scaled_scatter_sum(
-            x, batch, num_graphs, self.avg_num_nodes, mask=node_mask
+            x, batch, num_graphs, self.avg_num_nodes, mask=node_mask, sorted=True
         )  # [G, 1]
         if self.atomref is not None:
             ref = jnp.asarray(self.atomref, pos.dtype)[graphs.species]
-            per_graph_ref = segment_sum(ref[:, None], batch, num_graphs, mask=node_mask)
+            per_graph_ref = segment_sum(ref[:, None], batch, num_graphs, mask=node_mask, sorted=True)
             outputs = outputs + per_graph_ref
         return outputs[:, 0]

@@ -211,11 +211,11 @@ class GraphAttentionTransformerOC20(nn.Module):
                 aux = out[:, 1:4]
                 energy = scaled_scatter_sum(
                     energy_nodes, batch, num_graphs, self.avg_num_nodes, mask=node_mask
-                )[:, 0]
+                , sorted=True)[:, 0]
                 return energy, aux
             energy = scaled_scatter_sum(
                 out, batch, num_graphs, self.avg_num_nodes, mask=node_mask
-            )[:, 0]
+            , sorted=True)[:, 0]
             return energy
 
         # scalars-only FFN energy head (:175-178)
@@ -225,7 +225,7 @@ class GraphAttentionTransformerOC20(nn.Module):
         x = IrrepsLinear(feat_scalars, Irreps("1x0e"), name="head_lin2")(x)
         energy = scaled_scatter_sum(
             x, batch, num_graphs, self.avg_num_nodes, mask=node_mask
-        )[:, 0]
+        , sorted=True)[:, 0]
 
         if self.use_auxiliary_task:
             aux = GraphAttention(

@@ -389,5 +389,6 @@ class EdgeDegreeEmbedding(nn.Module):
             edge_feat = self.dw(feat[edge_src], edge_attr, w)
             edge_feat = self.proj(edge_feat)
         return scaled_scatter_sum(
-            edge_feat, edge_dst, num_nodes, self.avg_degree, mask=edge_mask
+            edge_feat, edge_dst, num_nodes, self.avg_degree, mask=edge_mask,
+            sorted=True,
         )
