@@ -1,5 +1,6 @@
 from .segment import (
     degree,
+    gather_add,
     scaled_scatter_sum,
     segment_max,
     segment_mean,

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -53,13 +55,25 @@ def segment_max(data, segment_ids, num_segments: int, mask=None, sorted: bool = 
 
 
 def segment_softmax(scores, segment_ids, num_segments: int, mask=None,
-                    sorted: bool = False):
+                    sorted: bool = False, higher_order: bool = False):
     """Numerically stable softmax of ``scores`` [E, ...] grouped by segment.
 
     Equivalent of ``torch_geometric.utils.softmax(alpha, edge_dst)``
     (graph_attention_transformer.py:508) with padding: masked-out entries get
-    probability 0; empty segments produce all-zero probabilities.
+    probability 0; empty segments produce all-zero probabilities.  By default
+    uses a custom VJP (``p*g - p*sum_seg(p*g)[ids]``) so the backward is one
+    segment sum — sorted when the ids are — instead of derived scatter-adds;
+    ``higher_order=True`` keeps the plain composition (custom_vjp does not
+    support the double backward force models need).
     """
+    if higher_order:
+        return _segment_softmax_composed(scores, segment_ids, num_segments, mask, sorted)
+    return sorted_segment_softmax(scores, segment_ids, num_segments, mask, sorted)
+
+
+def _segment_softmax_composed(scores, segment_ids, num_segments: int, mask=None,
+                              sorted: bool = False):
+    """The plain composed forward (kept for the custom-vjp impl + tests)."""
     m = segment_max(scores, segment_ids, num_segments, mask, sorted=sorted)
     m = jnp.where(jnp.isfinite(m), m, 0)  # empty segments -> shift of 0
     shifted = scores - m[segment_ids]
@@ -95,6 +109,60 @@ def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: 
     return segment_sum(data, segment_ids, num_segments, mask, sorted=sorted) / (
         avg_aggregate_num ** 0.5
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_add(xs, xd, src, dst, num_nodes: int):
+    """``xs[src] + xd[dst]`` with a segment-sum backward.
+
+    The plain composition's backward emits two unsorted scatter-adds; edges
+    from the radius-graph builders are dst-sorted, so the dst cotangent can
+    take the cheaper indices_are_sorted segment lowering.  ``num_nodes`` is
+    static (= xs.shape[0]).
+    """
+    return xs[src] + xd[dst]
+
+
+def _gather_add_fwd(xs, xd, src, dst, num_nodes):
+    return xs[src] + xd[dst], (src, dst)
+
+
+def _gather_add_bwd(num_nodes, res, g):
+    src, dst = res
+    dxs = jax.ops.segment_sum(g, src, num_segments=num_nodes)
+    dxd = jax.ops.segment_sum(g, dst, num_segments=num_nodes,
+                              indices_are_sorted=True)
+    return dxs, dxd, None, None
+
+
+gather_add.defvjp(_gather_add_fwd, _gather_add_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
+def sorted_segment_softmax(scores, segment_ids, num_segments: int, mask, sorted: bool):
+    """segment_softmax whose backward uses the sorted-segment lowering.
+
+    Semantics identical to :func:`segment_softmax`; the VJP is computed as
+    ``p * (g - sum_seg(p * g)[ids])`` with a single (sorted) segment-sum
+    instead of the scatter-adds XLA derives from the composed forward.
+    """
+    return _segment_softmax_composed(scores, segment_ids, num_segments, mask, sorted)
+
+
+def _sorted_softmax_fwd(scores, segment_ids, num_segments, mask, sorted):
+    p = _segment_softmax_composed(scores, segment_ids, num_segments, mask, sorted)
+    return p, (p, segment_ids)
+
+
+def _sorted_softmax_bwd(num_segments, sorted, res, g):
+    p, segment_ids = res
+    pg = p * g
+    s = jax.ops.segment_sum(pg, segment_ids, num_segments=num_segments,
+                            indices_are_sorted=sorted)
+    return pg - p * s[segment_ids], None, None
+
+
+sorted_segment_softmax.defvjp(_sorted_softmax_fwd, _sorted_softmax_bwd)
 
 
 def _expand(mask, data):

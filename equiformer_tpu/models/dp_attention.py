@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.irreps import Irreps
 from ..graph.radius_graph import EdgeList
-from ..graph.segment import degree, segment_softmax, segment_sum
+from ..graph.segment import degree, gather_add, segment_softmax, segment_sum
 from ..nn.attention_utils import heads2vec, vec2heads
 from ..nn.dropout import EquivariantDropout
 from ..nn.linear import IrrepsLinear
@@ -48,6 +48,7 @@ class DotProductAttention(nn.Module):
     avg_degree: float = 1.0
     alpha_drop: float = 0.1
     proj_drop: float = 0.1
+    higher_order_grads: bool = True
 
     def setup(self):
         irreps_in = Irreps(self.irreps_node_input)
@@ -82,14 +83,22 @@ class DotProductAttention(nn.Module):
         q = vec2heads(head, H, q)
         q = scale_factor(head, q)
 
-        kv = self.merge_src(node_input)[edges.src] + self.merge_dst(node_input)[edges.dst]
+        if self.higher_order_grads:
+            kv = (self.merge_src(node_input)[edges.src]
+                  + self.merge_dst(node_input)[edges.dst])
+        else:
+            kv = gather_add(
+                self.merge_src(node_input), self.merge_dst(node_input),
+                edges.src, edges.dst, num_nodes,
+            )
         kv = self.key_value(kv, edge_attr=edge_attr, edge_scalars=edge_scalars)
         kv = vec2heads(head, 2 * H, kv)  # [E, 2H, head_dim]
         k = kv[:, :H, :]
         v = kv[:, H:, :]
 
         alpha = jnp.einsum("ehk,ehk->eh", q[edges.dst], k)
-        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask, sorted=True)
+        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask,
+                                sorted=True, higher_order=self.higher_order_grads)
         if self.alpha_drop != 0.0 and not deterministic:
             rng = self.make_rng("dropout")
             keep = 1.0 - self.alpha_drop

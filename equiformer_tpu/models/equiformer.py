@@ -29,7 +29,13 @@ from ..core.spherical import spherical_harmonics_for_irreps
 from ..core.tensor_product import depthwise_tp
 from ..graph.batching import GraphsTuple
 from ..graph.radius_graph import EdgeList, edge_vectors, radius_graph, radius_graph_dense
-from ..graph.segment import degree, scaled_scatter_sum, segment_softmax, segment_sum
+from ..graph.segment import (
+    degree,
+    gather_add,
+    scaled_scatter_sum,
+    segment_softmax,
+    segment_sum,
+)
 from ..nn.activation import Activation, normalized_activation
 from ..nn.attention_utils import heads2vec, heads_irreps, vec2heads
 from ..nn.dropout import EquivariantDropout, GraphDropPath
@@ -133,7 +139,12 @@ class GraphAttention(nn.Module):
 
         msg_src = self.merge_src(node_input)
         msg_dst = self.merge_dst(node_input)
-        message = msg_src[edges.src] + msg_dst[edges.dst]
+        if self.higher_order_grads:
+            # force models double-backprop through the step; custom_vjp
+            # helpers only support first-order AD
+            message = msg_src[edges.src] + msg_dst[edges.dst]
+        else:
+            message = gather_add(msg_src, msg_dst, edges.src, edges.dst, num_nodes)
 
         if self.nonlinear_message:
             w = self.sep_act.dtp_weights(edge_scalars)
@@ -156,7 +167,8 @@ class GraphAttention(nn.Module):
 
         alpha = self.alpha_act(alpha)
         alpha = jnp.einsum("ehk,hk->eh", alpha, self.alpha_dot.astype(alpha.dtype))
-        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask, sorted=True)
+        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask,
+                                sorted=True, higher_order=self.higher_order_grads)
         if self.alpha_drop != 0.0 and not deterministic:
             rng = self.make_rng("dropout")
             keep = 1.0 - self.alpha_drop
@@ -279,6 +291,7 @@ class TransBlock(nn.Module):
                 avg_degree=self.avg_degree,
                 alpha_drop=self.alpha_drop,
                 proj_drop=self.proj_drop,
+                higher_order_grads=self.higher_order_grads,
                 name="dpa",
             )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
         else:

@@ -137,3 +137,47 @@ def test_radius_graph_dense_matches_flat():
             if m
         }
     assert edge_set(flat) == edge_set(dense)
+
+
+def test_gather_add_matches_composition_and_grads():
+    from equiformer_tpu.graph.segment import gather_add
+
+    N, E, D = 12, 40, 6
+    xs = jnp.asarray(RNG.normal(size=(N, D)).astype(np.float32))
+    xd = jnp.asarray(RNG.normal(size=(N, D)).astype(np.float32))
+    # dst-sorted edge list (the radius-graph builders' invariant)
+    dst = jnp.asarray(np.sort(RNG.integers(0, N, size=E)).astype(np.int32))
+    src = jnp.asarray(RNG.integers(0, N, size=E).astype(np.int32))
+
+    out = gather_add(xs, xd, src, dst, N)
+    ref = xs[src] + xd[dst]
+    assert np.allclose(out, ref)
+
+    w = jnp.asarray(RNG.normal(size=(E, D)).astype(np.float32))
+    f = lambda a, b: jnp.sum(gather_add(a, b, src, dst, N) * w)
+    g = lambda a, b: jnp.sum((a[src] + b[dst]) * w)
+    ga, gb = jax.grad(f, argnums=(0, 1))(xs, xd)
+    ra, rb = jax.grad(g, argnums=(0, 1))(xs, xd)
+    assert np.allclose(ga, ra, atol=1e-6)
+    assert np.allclose(gb, rb, atol=1e-6)
+
+
+def test_segment_softmax_custom_vjp_grads():
+    from equiformer_tpu.graph.segment import (
+        _segment_softmax_composed,
+        segment_softmax,
+    )
+
+    N, E, H = 9, 50, 4
+    ids = jnp.asarray(np.sort(RNG.integers(0, N, size=E)).astype(np.int32))
+    scores = jnp.asarray(RNG.normal(size=(E, H)).astype(np.float32))
+    mask = jnp.asarray(RNG.random(E) > 0.2)
+    w = jnp.asarray(RNG.normal(size=(E, H)).astype(np.float32))
+
+    for m in (None, mask):
+        p = segment_softmax(scores, ids, N, mask=m, sorted=True)
+        p_ref = _segment_softmax_composed(scores, ids, N, mask=m, sorted=True)
+        assert np.allclose(p, p_ref, atol=1e-6)
+        g = jax.grad(lambda s: jnp.sum(segment_softmax(s, ids, N, mask=m, sorted=True) * w))(scores)
+        g_ref = jax.grad(lambda s: jnp.sum(_segment_softmax_composed(s, ids, N, mask=m, sorted=True) * w))(scores)
+        assert np.allclose(g, g_ref, atol=1e-5), np.abs(np.asarray(g) - np.asarray(g_ref)).max()
