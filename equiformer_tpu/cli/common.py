@@ -38,6 +38,17 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--num-basis", type=int, default=128)
     p.add_argument("--clip-grad", type=float, default=None)
     p.add_argument("--ema-decay", type=float, default=0.999)
+    p.add_argument("--no-model-ema", action="store_true",
+                   help="disable the EMA copy (reference --no-model-ema)")
+    p.add_argument("--input-irreps", type=str, default=None,
+                   help="one-hot input irreps (reference signature compat)")
+    p.add_argument("--feature-type", type=str, default="one_hot",
+                   choices=["one_hot"],
+                   help="atom feature encoding (reference --feature-type)")
+    p.add_argument("--drop-path", type=float, default=0.0)
+    p.add_argument("--no-amp", action="store_true",
+                   help="fp32 feature compute (default: bfloat16, the TPU "
+                        "analog of the reference AMP autocast)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
                    help="run on synthetic data (no dataset files needed)")

@@ -88,6 +88,10 @@ def main(args):
             model_kwargs[k] = _I(v) if isinstance(v, str) and ("x0e" in v or "x1" in v or "x2" in v or "x3" in v) else v
         if "fc_neurons" in model_kwargs:
             model_kwargs["fc_neurons"] = tuple(model_kwargs["fc_neurons"])
+    if args.drop_path:
+        model_kwargs.setdefault("drop_path_rate", args.drop_path)
+    if args.input_irreps:
+        model_kwargs.setdefault("irreps_in", args.input_irreps)
     if args.use_dens:
         model = model_entrypoint("equiformer_md17_dens")(max_edges=edge_cap, **model_kwargs)
     else:
@@ -119,7 +123,7 @@ def main(args):
             denoising_pos_std=args.denoising_pos_std,
             denoising_pos_prob=args.denoising_pos_prob,
             corrupt_ratio=args.denoising_corrupt_ratio,
-            ema_decay=args.ema_decay,
+            ema_decay=None if args.no_model_ema else args.ema_decay,
             pmean_axis="dp" if args.dp > 1 else None,
         )
 
@@ -133,7 +137,7 @@ def main(args):
     else:
         train_step, eval_step = make_md17_steps(
             model, opt, mean, std, args.energy_weight, args.force_weight,
-            ema_decay=args.ema_decay, pmean_axis="dp" if args.dp > 1 else None,
+            ema_decay=None if args.no_model_ema else args.ema_decay, pmean_axis="dp" if args.dp > 1 else None,
         )
         extra = lambda epoch: ()
         metric_keys = ("loss", "mae_e", "mae_f")

@@ -51,6 +51,9 @@ def get_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel devices (reference g@N; overrides "
+                        "config parallel.dp)")
     return p.parse_args(argv)
 
 
@@ -113,6 +116,8 @@ def resolve_config(args):
         apply_overrides(cfg, args.override)
     if args.epochs is not None:
         cfg["optim"]["max_epochs"] = args.epochs
+    if args.dp is not None:
+        cfg.setdefault("parallel", {})["dp"] = args.dp
     return cfg
 
 
@@ -172,10 +177,14 @@ class EnergyTrainerV2:
                              grad_clip_norm=ocfg["clip_grad_norm"]),
             ocfg["grad_accumulation_steps"],
         )
+        # data parallelism over the device mesh (reference g@N multi-GPU
+        # cells, oc20/trainer distutils): optim.batch_size is per device
+        self.dp = int(cfg.get("parallel", {}).get("dp", 1))
         self.train_step, self.eval_step = make_oc20_steps(
             self.model, opt,
             target_mean=ncfg["target_mean"], target_std=ncfg["target_std"],
             positions_std=ncfg["positions_std"],
+            pmean_axis="dp" if self.dp > 1 else None,
             use_auxiliary_task=mcfg["use_auxiliary_task"],
             auxiliary_task_weight=ocfg["auxiliary_task_weight"],
             total_steps=total_steps,
@@ -256,7 +265,15 @@ class EnergyTrainerV2:
         return merged
 
     def train(self):
-        step_fn = jax.jit(self.train_step, donate_argnums=(0,))
+        if self.dp > 1:
+            from ..parallel import make_mesh, make_parallel_train_step
+
+            mesh = make_mesh(self.dp)
+            step_fn = make_parallel_train_step(self.train_step, mesh)
+            self.log.info("data parallel over %d devices", self.dp)
+        else:
+            mesh = None
+            step_fn = jax.jit(self.train_step, donate_argnums=(0,))
         rng = jax.random.PRNGKey(1)
 
         # preemption handling (analog of submitit Checkpointable +
@@ -277,7 +294,22 @@ class EnergyTrainerV2:
         for epoch in range(self.start_epoch, self.ocfg["max_epochs"]):
             meters = {k: AverageMeter() for k in ("loss", "mae")}
             t0 = time.perf_counter()
-            for batch in prefetch(self.make_batches(self.train_data, shuffle_seed=epoch)):
+            it = prefetch(self.make_batches(self.train_data, shuffle_seed=epoch))
+            if self.dp > 1:
+                from ..parallel import shard_batch, stack_batches
+
+                def grouped(itr, dp=self.dp):
+                    while True:
+                        chunk = []
+                        try:
+                            for _ in range(dp):
+                                chunk.append(next(itr))
+                        except StopIteration:
+                            return
+                        yield shard_batch(stack_batches(chunk), mesh)
+
+                it = grouped(it)
+            for batch in it:
                 rng, sub = jax.random.split(rng)
                 self.state, m = step_fn(self.state, batch, sub)
                 for k in meters:

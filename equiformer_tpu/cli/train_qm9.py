@@ -30,6 +30,8 @@ def get_args():
     add_common_args(p)
     p.add_argument("--target", type=int, default=1, help="QM9 target index (1=alpha)")
     p.add_argument("--loss", type=str, default="l1", choices=["l1", "l2"])
+    p.add_argument("--no-standardize", action="store_true",
+                   help="train on raw targets (reference --no-standardize)")
     p.set_defaults(model_name="graph_attention_transformer_nonlinear_l2")
     return p.parse_args()
 
@@ -46,14 +48,21 @@ def main(args):
         train, mean, std = load_qm9(args.data_path, "train", args.target)
         val, _, _ = load_qm9(args.data_path, "valid", args.target)
         test, _, _ = load_qm9(args.data_path, "test", args.target)
+    if args.no_standardize:
+        mean, std = 0.0, 1.0
     log.info("train %d molecules; target mean %.4f std %.4f", len(train), mean, std)
 
     node_cap = ((args.batch_size * 30 + 127) // 128) * 128
     edge_cap = ((node_cap * 17 + 127) // 128) * 128
-    model = model_entrypoint(args.model_name)(
+    model_kwargs = dict(
         radius=args.radius, num_basis=args.num_basis, max_edges=edge_cap,
         task_mean=mean, task_std=std, remat=True,
+        drop_path_rate=args.drop_path,
+        compute_dtype=None if args.no_amp else "bfloat16",
     )
+    if args.input_irreps:
+        model_kwargs["irreps_in"] = args.input_irreps
+    model = model_entrypoint(args.model_name)(**model_kwargs)
     train_loader = GraphLoader(train, args.batch_size, node_cap, seed=args.seed)
     val_loader = GraphLoader(val, args.batch_size, node_cap, shuffle=False, drop_last=False)
     test_loader = GraphLoader(test, args.batch_size, node_cap, shuffle=False, drop_last=False)
@@ -65,7 +74,8 @@ def main(args):
     )
     opt = create_optimizer(schedule, args.weight_decay, grad_clip_norm=args.clip_grad)
     train_step, eval_step = make_qm9_steps(
-        model, opt, mean, std, args.loss, ema_decay=args.ema_decay,
+        model, opt, mean, std, args.loss,
+        ema_decay=None if args.no_model_ema else args.ema_decay,
         pmean_axis="dp" if args.dp > 1 else None,
     )
 

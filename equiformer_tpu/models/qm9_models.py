@@ -24,6 +24,9 @@ def _gat(radius, num_basis, *, nonlinear, basis="gaussian", alpha_drop=0.2,
         kwargs.setdefault("task_std", float(task_std))
     if atomref is not None:
         kwargs.setdefault("atomref", tuple(float(a) for a in np.asarray(atomref).ravel()))
+    kwargs.setdefault("proj_drop", 0.0)
+    kwargs.setdefault("out_drop", 0.0)
+    kwargs.setdefault("drop_path_rate", 0.0)
     return GraphAttentionTransformer(
         irreps_node_embedding=Irreps(irreps_node_embedding),
         num_layers=6,
@@ -41,9 +44,6 @@ def _gat(radius, num_basis, *, nonlinear, basis="gaussian", alpha_drop=0.2,
         irreps_mlp_mid=Irreps(irreps_mlp_mid),
         norm_layer="layer",
         alpha_drop=alpha_drop,
-        proj_drop=0.0,
-        out_drop=0.0,
-        drop_path_rate=0.0,
         max_atom_type=5,
         higher_order_grads=False,  # QM9 training never differentiates through pos
         **kwargs,
