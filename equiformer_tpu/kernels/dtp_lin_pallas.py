@@ -198,6 +198,45 @@ class DTPLinPlan:
                         "z slot never written; zero-init would be required"
                     )
 
+        # ---- shared-weight folding: when weights are shared across edges the
+        # per-path weight is a per-fan-column constant, so z@(diag(w_rows) W)
+        # == (z*w_cols)@W — fold w into the packed linear weight OUTSIDE the
+        # kernel (differentiable XLA row-scaling).  The kernel then never
+        # sees w: no w aligns, no per-slot FMA in fwd, no dw transpose in bwd.
+        self.fold_shared = shared_weights
+        if shared_weights:
+            scale = {}
+            for t, (gi, k, fc) in self._terms:
+                _, mul, _ = self.x_slots[t.a_off]
+                prev = scale.get((gi, fc))
+                assert prev is None or prev == (t.b_off, mul), (
+                    "fan column fed by multiple weight paths; cannot fold"
+                )
+                scale[(gi, fc)] = (t.b_off, mul)
+            self.w_row_map = [
+                sorted(
+                    (fc, off, mul)
+                    for (g2, fc), (off, mul) in scale.items()
+                    if g2 == gi
+                )
+                for gi in range(len(self.groups))
+            ]
+
+    def scale_shared_weights(self, w, Ws):
+        """Fold the shared per-path weight vector into the packed linear
+        weights (rows of each group's W scaled by the matching w entries).
+        Runs in XLA outside the kernel, so dw and dW chain automatically."""
+        w = w.reshape(-1)
+        out = []
+        for gi, W in enumerate(Ws):
+            rows = jnp.zeros((self.groups[gi].fan_pad,), W.dtype)
+            for fc, off, mul in self.w_row_map[gi]:
+                rows = jax.lax.dynamic_update_slice(
+                    rows, w[off : off + mul].astype(W.dtype), (fc,)
+                )
+            out.append(W * rows[:, None])
+        return out
+
     # ------------------------------------------------------------- weights
     def pack_weights(self, head_weights: Sequence[Sequence[jnp.ndarray]]):
         """head_weights[h][i] = the IrrepsLinear weight [fan_real, mul_out] for
@@ -276,9 +315,6 @@ def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow, T):
     for off, (slot, mul, p) in plan.x_slots.items():
         if p * mul < LANE:
             x_al[:, slot : slot + LANE] = jnp.zeros_like(x_al[:, slot : slot + LANE])
-    for off, (slot, mul, p) in plan.w_slots.items():
-        if p * mul < LANE:
-            w_al[:, slot : slot + LANE] = jnp.zeros_like(w_al[:, slot : slot + LANE])
     for off, (slot, mul, p) in plan.x_slots.items():
         if p == 1:
             x_al[:, slot : slot + mul] = x_ref[:, off : off + mul]
@@ -288,6 +324,11 @@ def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow, T):
                 x_al[:r, slot + g * mul : slot + (g + 1) * mul] = x_ref[
                     g * r : (g + 1) * r, off : off + mul
                 ]
+    if w_ref is None:  # fold_shared: w lives in the packed linear weights
+        return
+    for off, (slot, mul, p) in plan.w_slots.items():
+        if p * mul < LANE:
+            w_al[:, slot : slot + LANE] = jnp.zeros_like(w_al[:, slot : slot + LANE])
     for off, (slot, mul, p) in plan.w_slots.items():
         if p == 1 or shared:
             for g in range(1 if p == 1 else p):
@@ -345,8 +386,11 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
         ws, mul, p = plan.w_slots[b_off]
         r = T // p
         lanes = LANE if p == 1 else p * mul
-        wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
-        val = acc * wv
+        if w_al is None:  # fold_shared: w applied via the packed linear W
+            val = acc
+        else:
+            wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
+            val = acc * wv
         if p == 1:
             z_scr[gi][k * T : (k + 1) * T, fc : fc + LANE] = val
         else:
@@ -356,12 +400,23 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
                 ] = val[:, g * mul : (g + 1) * mul]
 
 
-def _fwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
+def _fwd_kernel(plan: DTPLinPlan, T, *refs):
     nG = len(plan.groups)
+    if plan.fold_shared:
+        x_ref, sh_ref, w_ref = refs[0], refs[1], None
+        rest = refs[2:]
+    else:
+        x_ref, sh_ref, w_ref = refs[:3]
+        rest = refs[3:]
     W_refs = rest[:nG]
     out_ref = rest[nG]
-    x_al, w_al = rest[nG + 1], rest[nG + 2]
-    z_scr = rest[nG + 3 :]
+    x_al = rest[nG + 1]
+    if plan.fold_shared:
+        w_al = None
+        z_scr = rest[nG + 2 :]
+    else:
+        w_al = rest[nG + 2]
+        z_scr = rest[nG + 3 :]
     wrow = slice(None) if not plan.shared_weights else slice(0, 1)
 
     # packed slots write only fc:fc+mul lanes of z; the pad lanes must hold
@@ -383,18 +438,32 @@ def _fwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
             ]
 
 
-def _bwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
+def _bwd_kernel(plan: DTPLinPlan, T, *refs):
     nG = len(plan.groups)
-    W_refs = rest[:nG]
-    g_ref = rest[nG]
-    dx_ref, dsh_ref, dw_ref = rest[nG + 1 : nG + 4]
-    dW_refs = rest[nG + 4 : nG + 4 + nG]
-    x_al, w_al = rest[nG + 4 + nG], rest[nG + 5 + nG]
-    scr = rest[nG + 6 + nG :]
+    if plan.fold_shared:
+        x_ref, sh_ref, w_ref = refs[0], refs[1], None
+        rest = refs[2:]
+        W_refs = rest[:nG]
+        g_ref = rest[nG]
+        dx_ref, dsh_ref = rest[nG + 1 : nG + 3]
+        dw_ref = None
+        dW_refs = rest[nG + 3 : nG + 3 + nG]
+        x_al, w_al = rest[nG + 3 + nG], None
+        scr = rest[nG + 4 + nG :]
+        dwa_scr = None
+    else:
+        x_ref, sh_ref, w_ref = refs[:3]
+        rest = refs[3:]
+        W_refs = rest[:nG]
+        g_ref = rest[nG]
+        dx_ref, dsh_ref, dw_ref = rest[nG + 1 : nG + 4]
+        dW_refs = rest[nG + 4 : nG + 4 + nG]
+        x_al, w_al = rest[nG + 4 + nG], rest[nG + 5 + nG]
+        scr = rest[nG + 6 + nG :]
+        dwa_scr = scr[3 * nG]
     z_scr = scr[:nG]
     dz_scr = scr[nG : 2 * nG]
     g_scr = scr[2 * nG : 3 * nG]
-    dwa_scr = scr[3 * nG]
 
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -467,6 +536,16 @@ def _bwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
         cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
         lanes = LANE if p == 1 else p * mul
         xv = x_al[:r, xs : xs + lanes]
+        if plan.fold_shared:
+            # w is folded into W, so dz already carries it: dx = c*col*dz,
+            # and dw flows through the XLA-side row-scaling of W
+            cdz = (t.coeff * cp) * dz
+            dx_acc[xs] = dx_acc.get(xs, 0.0) + cdz
+            if plan.needs_dsh:
+                dsh_acc[(t.col_off, p, mul)] = (
+                    dsh_acc.get((t.col_off, p, mul), 0.0) + t.coeff * (xv * dz)
+                )
+            continue
         wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
         # factor c*col*dz once; dx and dw are one FMA each off it
         cdz = (t.coeff * cp) * dz
@@ -501,6 +580,8 @@ def _bwd_kernel(plan: DTPLinPlan, T, x_ref, sh_ref, w_ref, *rest):
                 dsh_ref[g * r : (g + 1) * r, j : j + 1] += jnp.sum(
                     acc[:, g * mul : (g + 1) * mul], axis=1, keepdims=True
                 ).astype(dsh_ref.dtype)
+    if plan.fold_shared:
+        return  # dw comes from the XLA-side W row-scaling
     if not plan.shared_weights:
         dw_ref[:] = jnp.zeros_like(dw_ref)
         for off, (slot, mul, p) in plan.w_slots.items():
@@ -568,30 +649,79 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
 
     def fwd_call(x, sh, w, Ws):
         E = x.shape[0]
+        if plan.fold_shared:
+            in_specs = [
+                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
+                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+            ] + [_shared_spec(W.shape) for W in Ws]
+            w_scratch = []
+            operands = (x, sh) + tuple(Ws)
+        else:
+            in_specs = [
+                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
+                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+                w_spec(E),
+            ] + [_shared_spec(W.shape) for W in Ws]
+            w_scratch = [
+                pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype)
+            ]
+            operands = (x, sh, w) + tuple(Ws)
         return pl.pallas_call(
             functools.partial(_fwd_kernel, plan, T),
             out_shape=jax.ShapeDtypeStruct((E, plan.d_out), x.dtype),
             grid=(E // T,),
-            in_specs=[
-                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
-                w_spec(E),
-            ]
-            + [_shared_spec(W.shape) for W in Ws],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((T, plan.d_out), lambda i: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((T, plan.d_x_al), x.dtype),
-                pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype),
-            ]
+            scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
+            + w_scratch
             + [
                 pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
                 for g in plan.groups
             ],
             interpret=interpret,
-        )(x, sh, w, *Ws)
+        )(*operands)
 
     def bwd_call(x, sh, w, Ws, g):
         E = x.shape[0]
+        z_scratch = [
+            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), x.dtype) for gr in plan.groups
+        ]
+        dz_scratch = [
+            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), x.dtype) for gr in plan.groups
+        ]
+        g_scratch = [
+            pltpu.VMEM((gr.ir.dim * T, gr.cols), x.dtype) for gr in plan.groups
+        ]
+        dW_shapes = tuple(
+            jax.ShapeDtypeStruct((gr.fan_pad, gr.cols), jnp.float32)
+            for gr in plan.groups
+        )
+        dW_specs = tuple(_shared_spec((gr.fan_pad, gr.cols)) for gr in plan.groups)
+        edge_specs = [
+            pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
+            pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+        ]
+        if plan.fold_shared:
+            return pl.pallas_call(
+                functools.partial(_bwd_kernel, plan, T),
+                out_shape=(
+                    jax.ShapeDtypeStruct((E, plan.d_x), x.dtype),
+                    jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
+                )
+                + dW_shapes,
+                grid=(E // T,),
+                in_specs=edge_specs
+                + [_shared_spec(W.shape) for W in Ws]
+                + [pl.BlockSpec((T, plan.d_out), lambda i: (i, 0))],
+                out_specs=(
+                    pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
+                    pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+                )
+                + dW_specs,
+                scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
+                + z_scratch + dz_scratch + g_scratch,
+                interpret=interpret,
+            )(x, sh, *Ws, g)
         dw_shape = (1, plan.d_w) if plan.shared_weights else (E, plan.d_w)
         dw_out_spec = (
             _shared_spec((1, plan.d_w))
@@ -605,16 +735,10 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                 jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
                 jax.ShapeDtypeStruct(dw_shape, w.dtype),
             )
-            + tuple(
-                jax.ShapeDtypeStruct((g.fan_pad, g.cols), jnp.float32)
-                for g in plan.groups
-            ),
+            + dW_shapes,
             grid=(E // T,),
-            in_specs=[
-                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
-                w_spec(E),
-            ]
+            in_specs=edge_specs
+            + [w_spec(E)]
             + [_shared_spec(W.shape) for W in Ws]
             + [pl.BlockSpec((T, plan.d_out), lambda i: (i, 0))],
             out_specs=(
@@ -622,28 +746,45 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                 pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
                 dw_out_spec,
             )
-            + tuple(
-                _shared_spec((g.fan_pad, g.cols)) for g in plan.groups
-            ),
+            + dW_specs,
             scratch_shapes=[
                 pltpu.VMEM((T, plan.d_x_al), x.dtype),
                 pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype),
             ]
-            + [
-                pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
-                for g in plan.groups
-            ]
-            + [
-                pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
-                for g in plan.groups
-            ]
-            + [
-                pltpu.VMEM((g.ir.dim * T, g.cols), x.dtype)
-                for g in plan.groups
-            ]
+            + z_scratch + dz_scratch + g_scratch
             + [pltpu.VMEM((1, plan.d_w_al), jnp.float32)],
             interpret=interpret,
         )(x, sh, w, *Ws, g)
+
+    if plan.fold_shared:
+
+        @jax.custom_vjp
+        def fused_nw(x, sh, *Ws):
+            return fwd_call(x, sh, None, Ws)
+
+        def fnw_fwd(x, sh, *Ws):
+            return fwd_call(x, sh, None, Ws), (x, sh, Ws)
+
+        def fnw_bwd(res, g):
+            x, sh, Ws = res
+            outs = bwd_call(x, sh, None, Ws, g)
+            dWs = tuple(d.astype(W.dtype) for d, W in zip(outs[2:], Ws))
+            return (outs[0], outs[1]) + dWs
+
+        fused_nw.defvjp(fnw_fwd, fnw_bwd)
+
+        def call(x, sh, w, Ws):
+            """Fold the shared w into the packed weights, pad, run, unpad."""
+            E = x.shape[0]
+            pad = (-E) % T
+            Ws = plan.scale_shared_weights(w.astype(x.dtype), Ws)
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0)))
+                sh = jnp.pad(sh, ((0, pad), (0, 0)))
+            out = fused_nw(x, sh, *Ws)
+            return out[:E] if pad else out
+
+        return call
 
     @jax.custom_vjp
     def fused(x, sh, w, *Ws):
