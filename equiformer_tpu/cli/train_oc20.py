@@ -132,10 +132,16 @@ class EnergyTrainerV2:
         self.cfg = cfg
         self.log = FileLogger(jax.process_index() == 0, args.output_dir)
         self.writer = MetricsWriter(args.output_dir)
-        tb_enabled = cfg.get("logger") == "tensorboard"
-        self.tb = registry_get("logger", "tensorboard")(
-            os.path.join(args.output_dir, "tb"), enabled=tb_enabled
-        )
+        # exporter by config name (reference logger registry,
+        # base_trainer_oc20.py:225-236): tensorboard | wandb | file (JSONL only)
+        exporter = cfg.get("logger", "file")
+        if exporter == "wandb":
+            self.tb = registry_get("logger", "wandb")(args.output_dir, enabled=True)
+        else:
+            self.tb = registry_get("logger", "tensorboard")(
+                os.path.join(args.output_dir, "tb"),
+                enabled=exporter == "tensorboard",
+            )
         mcfg, ocfg, ncfg, dcfg = cfg["model"], cfg["optim"], cfg["normalizer"], cfg["dataset"]
         self.mcfg, self.ocfg, self.ncfg, self.dcfg = mcfg, ocfg, ncfg, dcfg
 
@@ -292,7 +298,7 @@ class EnergyTrainerV2:
             pass  # not the main thread
 
         for epoch in range(self.start_epoch, self.ocfg["max_epochs"]):
-            meters = {k: AverageMeter() for k in ("loss", "mae")}
+            meters = {k: AverageMeter() for k in ("loss", "mae", "grad_norm")}
             t0 = time.perf_counter()
             it = prefetch(self.make_batches(self.train_data, shuffle_seed=epoch))
             if self.dp > 1:

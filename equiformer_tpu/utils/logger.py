@@ -75,3 +75,42 @@ class MetricsWriter:
     def close(self):
         if self._fh:
             self._fh.close()
+
+
+@register_logger("wandb")
+class WandBLogger:
+    """Weights & Biases sink (reference WandBLogger,
+    oc20/trainer/base_trainer_oc20.py:225-236 logger registry).
+
+    Gated on the ``wandb`` package: if it is not installed the logger degrades
+    to a warning + no-op so configs with ``logger: wandb`` still run.
+    Interface matches the tensorboard exporter (``add_scalars``/``close``).
+    """
+
+    def __init__(self, output_dir: Optional[str], enabled: bool = True,
+                 project: str = "equiformer-tpu", config: Optional[Dict] = None):
+        self._run = None
+        if not enabled:
+            return
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            logging.getLogger("equiformer_tpu").warning(
+                "wandb requested but not installed; metrics logging disabled"
+            )
+            return
+        import wandb
+
+        self._run = wandb.init(project=project, dir=output_dir, config=config)
+
+    def add_scalars(self, step: int, scalars: Dict, prefix: str = ""):
+        if self._run is None:
+            return
+        self._run.log(
+            {(prefix + "/" + k) if prefix else k: float(v) for k, v in scalars.items()},
+            step=step,
+        )
+
+    def close(self):
+        if self._run is not None:
+            self._run.finish()
