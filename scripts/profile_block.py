@@ -103,6 +103,43 @@ def main():
     lp = lin.init(key, xn)
     print(f"node linear fwd  : {timeit(jax.jit(lambda p, x: lin.apply(p, x)), lp, xn):7.2f} ms")
 
+    # per-block glue: norms, gate, head reshapes, FFN
+    from equiformer_tpu.nn import EquivariantLayerNorm
+    from equiformer_tpu.nn.activation import Gate, irreps2gate
+    from equiformer_tpu.nn.attention_utils import heads2vec, vec2heads
+
+    norm = EquivariantLayerNorm(irr)
+    npar = norm.init(key, xn)
+    nf = jax.jit(lambda p, x: norm.apply(p, x))
+    print(f"eq layernorm fwd : {timeit(nf, npar, xn):7.2f} ms")
+    ng = jax.jit(jax.grad(lambda p, x: jnp.sum(norm.apply(p, x).astype(jnp.float32) ** 2), argnums=(0, 1)))
+    print(f"eq layernorm f+b : {timeit(ng, npar, xn):7.2f} ms")
+
+    scal, gates, gated = irreps2gate(irr)
+    gate = Gate(scal, gates, gated)
+    xe = jax.random.normal(key, (E, gate.irreps_in.dim), dtype)
+    print(f"gate fwd         : {timeit(jax.jit(gate), xe):7.2f} ms")
+    gg = jax.jit(jax.grad(lambda x: jnp.sum(gate(x).astype(jnp.float32) ** 2)))
+    print(f"gate f+b         : {timeit(gg, xe):7.2f} ms")
+
+    head = Irreps("32x0e+16x1e+8x2e")
+    xh = jax.random.normal(key, (E, 4 * head.dim), dtype)
+    v2h = jax.jit(lambda x: vec2heads(head, 4, x))
+    print(f"vec2heads fwd    : {timeit(v2h, xh):7.2f} ms")
+    h2v = jax.jit(jax.grad(lambda x: jnp.sum(heads2vec(head, vec2heads(head, 4, x)).astype(jnp.float32) ** 2)))
+    print(f"v2h+h2v f+b      : {timeit(h2v, xh):7.2f} ms")
+
+    from equiformer_tpu.models.equiformer import FeedForwardNetwork
+
+    ffn = FeedForwardNetwork(irr, Irreps("1x0e"), irr,
+                             irreps_mlp_mid=Irreps("384x0e+192x1e+96x2e"),
+                             proj_drop=0.0)
+    attr1 = jnp.ones((node_cap, 1), dtype)
+    fp = ffn.init(key, xn, attr1)
+    print(f"FFN fwd          : {timeit(jax.jit(lambda p, x: ffn.apply(p, x, attr1)), fp, xn):7.2f} ms")
+    fg = jax.jit(jax.grad(lambda p, x: jnp.sum(ffn.apply(p, x, attr1).astype(jnp.float32) ** 2), argnums=(0, 1)))
+    print(f"FFN f+b          : {timeit(fg, fp, xn):7.2f} ms")
+
     gather = jax.jit(lambda x: x[edges.src] + x[edges.dst])
     print(f"gather fwd       : {timeit(gather, xn):7.2f} ms")
     ggrad = jax.jit(jax.grad(lambda x: jnp.sum((x[edges.src] + x[edges.dst]).astype(jnp.float32) ** 2)))

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--edges", type=int, default=46848)
     ap.add_argument("--tiles", type=int, nargs="+", default=[64, 128, 256, 512])
+    ap.add_argument("--shared", action="store_true",
+                    help="shared-weight (folded) kernel variant")
+    ap.add_argument("--reps", type=int, default=30)
     args = ap.parse_args()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
@@ -61,9 +64,12 @@ def main():
     scal, gates, gated = irreps2gate(irr)
     lin_out = (scal + gates + gated).simplify()
     print(f"edges={E} dtype={dtype.__name__}")
+    if args.shared:
+        w = w[:1]
     for T in args.tiles:
         plan = DTPLinPlan(
-            tp, [lin_out, Irreps("32x0e")], needs_dsh=False, tile=T
+            tp, [lin_out] if args.shared else [lin_out, Irreps("32x0e")],
+            needs_dsh=False, tile=T, shared_weights=args.shared,
         )
         fused = make_fused_dtp_lin(plan, tile=T)
         Ws = [
@@ -72,7 +78,7 @@ def main():
         ]
         try:
             ffwd = jax.jit(lambda x, s, w: fused(x, s, w, Ws))
-            tf = timeit(ffwd, x, sh, w)
+            tf = timeit(ffwd, x, sh, w, n=args.reps)
             fgrad = jax.jit(
                 jax.grad(
                     lambda x, s, w: jnp.sum(
@@ -81,7 +87,7 @@ def main():
                     argnums=(0, 2),
                 )
             )
-            tb = timeit(fgrad, x, sh, w)
+            tb = timeit(fgrad, x, sh, w, n=args.reps)
             print(f"tile {T:4d}: fwd {tf:6.2f} ms   f+b {tb:6.2f} ms")
         except Exception as e:  # VMEM OOM etc.
             print(f"tile {T:4d}: FAILED ({type(e).__name__}: {str(e)[:120]})")
