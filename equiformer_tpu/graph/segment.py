@@ -144,13 +144,42 @@ def sorted_segment_softmax(scores, segment_ids, num_segments: int, mask, sorted:
 
     Semantics identical to :func:`segment_softmax`; the VJP is computed as
     ``p * (g - sum_seg(p * g)[ids])`` with a single (sorted) segment-sum
-    instead of the scatter-adds XLA derives from the composed forward.
+    instead of the scatter-adds XLA derives from the composed forward, and
+    the stability shift is a global per-column max (exact up to rounding for
+    score spreads < ~80, the attention regime; the composed form keeps the
+    per-segment shift for unbounded inputs).
     """
-    return _segment_softmax_composed(scores, segment_ids, num_segments, mask, sorted)
+    return _global_shift_softmax(scores, segment_ids, num_segments, mask, sorted)
+
+
+def _global_shift_softmax(scores, segment_ids, num_segments, mask, sorted):
+    """Softmax value with a *global* per-column max shift instead of the
+    per-segment one: any constant shift leaves the softmax invariant, and the
+    shift carries no gradient, so one jnp.max replaces the segment_max.
+    Used only inside the custom-vjp fast path."""
+    if mask is not None:
+        emask = _expand(mask, scores)
+        neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+        masked = jnp.where(emask, scores, neg)
+    else:
+        emask = None
+        masked = scores
+    m = jnp.max(masked, axis=0)
+    m = jnp.where(jnp.isfinite(m), m, 0)
+    shifted = scores - m
+    if emask is not None:
+        shifted = jnp.where(emask, shifted, 0)
+        ex = jnp.where(emask, jnp.exp(shifted), 0)
+    else:
+        ex = jnp.exp(shifted)
+    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments,
+                                indices_are_sorted=sorted)
+    denom = jnp.maximum(denom, jnp.asarray(1e-16, scores.dtype))
+    return ex / denom[segment_ids]
 
 
 def _sorted_softmax_fwd(scores, segment_ids, num_segments, mask, sorted):
-    p = _segment_softmax_composed(scores, segment_ids, num_segments, mask, sorted)
+    p = _global_shift_softmax(scores, segment_ids, num_segments, mask, sorted)
     return p, (p, segment_ids)
 
 

@@ -132,6 +132,10 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
     try:
         from ..kernels.dtp_lin_pallas import DTPLinPlan, make_fused_dtp_lin
 
+        # folded shared-weight kernels carry no w scratch, so a 256 tile fits
+        # VMEM and measures fastest (tile_sweep.py); external-weight kernels
+        # stay at 128 (256 exceeds VMEM)
+        tile = 256 if internal_weights else 128
         fplan = DTPLinPlan(
             plan,
             head_irreps,
@@ -140,8 +144,9 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
             # this path only serves higher_order_grads=False models, which
             # never differentiate wrt positions: skip the dsh transpose
             needs_dsh=False,
+            tile=tile,
         )
-        return fplan, make_fused_dtp_lin(fplan)
+        return fplan, make_fused_dtp_lin(fplan, tile=tile)
     except (ValueError, AssertionError):
         return None, None
 
