@@ -20,6 +20,11 @@ class EdgeList(NamedTuple):
     src: jnp.ndarray  # [E_cap] int32
     dst: jnp.ndarray  # [E_cap] int32
     mask: jnp.ndarray  # [E_cap] bool
+    # index of each edge's reverse twin (radius adjacency is symmetric), or
+    # None when unavailable (e.g. top-k PBC graphs are asymmetric).  Lets
+    # backward scatters over src ride the sorted-dst segment lowering
+    # (graph/segment.gather_add).
+    rev: Optional[jnp.ndarray] = None
 
 
 def radius_graph(
@@ -91,6 +96,28 @@ def radius_graph_dense(
     num = jnp.sum(adj)
     mask = jnp.arange(max_edges) < num
     return EdgeList(src, dst, mask)
+
+
+def reverse_edge_perm_dense(edges: EdgeList, graphs: int, M: int) -> jnp.ndarray:
+    """Position of each edge's reverse twin in the dense-collate edge list.
+
+    Radius adjacency is symmetric, so every real edge (g, i, j) has a twin
+    (g, j, i) in the list.  Returns ``perm`` [E] with
+    ``edges.src[perm[e]] == edges.dst[e]`` for real edges; padded edges map
+    to an arbitrary padded slot (their cotangents are zero by masking).
+    """
+    E = edges.src.shape[0]
+    g = edges.dst // M
+    i = edges.dst % M
+    j = edges.src % M
+    flat = (g * M + i) * M + j
+    idx = (
+        jnp.zeros((graphs * M * M,), jnp.int32)
+        .at[flat]
+        .set(jnp.arange(E, dtype=jnp.int32), mode="drop")
+    )
+    rev_flat = (g * M + j) * M + i
+    return idx[rev_flat]
 
 
 def edge_vectors(pos: jnp.ndarray, edges: EdgeList, eps: float = 1e-12):

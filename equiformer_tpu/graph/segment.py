@@ -111,15 +111,23 @@ def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: 
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def gather_add(xs, xd, src, dst, num_nodes: int):
+def gather_add(xs, xd, src, dst, num_nodes: int, rev=None):
     """``xs[src] + xd[dst]`` with a segment-sum backward.
 
     The plain composition's backward emits two unsorted scatter-adds; edges
     from the radius-graph builders are dst-sorted, so the dst cotangent can
-    take the cheaper indices_are_sorted segment lowering.  ``num_nodes`` is
-    static (= xs.shape[0]).
+    take the cheaper indices_are_sorted segment lowering.  When ``rev`` (the
+    reverse-twin permutation of a symmetric edge list) is given, the src
+    cotangent rides the sorted lowering too: summing g over src equals
+    summing g[rev] over dst.  ``num_nodes`` is static (= xs.shape[0]).
     """
+    if rev is None:
+        return _gather_add(xs, xd, src, dst, num_nodes)
+    return _gather_add_rev(xs, xd, src, dst, rev, num_nodes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_add(xs, xd, src, dst, num_nodes: int):
     return xs[src] + xd[dst]
 
 
@@ -135,7 +143,30 @@ def _gather_add_bwd(num_nodes, res, g):
     return dxs, dxd, None, None
 
 
-gather_add.defvjp(_gather_add_fwd, _gather_add_bwd)
+_gather_add.defvjp(_gather_add_fwd, _gather_add_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_add_rev(xs, xd, src, dst, rev, num_nodes: int):
+    return xs[src] + xd[dst]
+
+
+def _gather_add_rev_fwd(xs, xd, src, dst, rev, num_nodes):
+    return xs[src] + xd[dst], (src, dst, rev)
+
+
+def _gather_add_rev_bwd(num_nodes, res, g):
+    src, dst, rev = res
+    # padded-edge cotangents are zero (downstream ops mask padded edges),
+    # so the arbitrary rev mapping on padding contributes nothing
+    dxs = jax.ops.segment_sum(g[rev], dst, num_segments=num_nodes,
+                              indices_are_sorted=True)
+    dxd = jax.ops.segment_sum(g, dst, num_segments=num_nodes,
+                              indices_are_sorted=True)
+    return dxs, dxd, None, None, None
+
+
+_gather_add_rev.defvjp(_gather_add_rev_fwd, _gather_add_rev_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))

@@ -89,7 +89,7 @@ class DotProductAttention(nn.Module):
         else:
             kv = gather_add(
                 self.merge_src(node_input), self.merge_dst(node_input),
-                edges.src, edges.dst, num_nodes,
+                edges.src, edges.dst, num_nodes, rev=edges.rev,
             )
         kv = self.key_value(kv, edge_attr=edge_attr, edge_scalars=edge_scalars)
         kv = vec2heads(head, 2 * H, kv)  # [E, 2H, head_dim]

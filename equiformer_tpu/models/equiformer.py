@@ -28,7 +28,13 @@ from ..core.irreps import Irrep, Irreps
 from ..core.spherical import spherical_harmonics_for_irreps
 from ..core.tensor_product import depthwise_tp
 from ..graph.batching import GraphsTuple
-from ..graph.radius_graph import EdgeList, edge_vectors, radius_graph, radius_graph_dense
+from ..graph.radius_graph import (
+    EdgeList,
+    edge_vectors,
+    radius_graph,
+    radius_graph_dense,
+    reverse_edge_perm_dense,
+)
 from ..graph.segment import (
     degree,
     gather_add,
@@ -144,7 +150,9 @@ class GraphAttention(nn.Module):
             # helpers only support first-order AD
             message = msg_src[edges.src] + msg_dst[edges.dst]
         else:
-            message = gather_add(msg_src, msg_dst, edges.src, edges.dst, num_nodes)
+            message = gather_add(
+                msg_src, msg_dst, edges.src, edges.dst, num_nodes, rev=edges.rev
+            )
 
         if self.nonlinear_message:
             w = self.sep_act.dtp_weights(edge_scalars)
@@ -364,9 +372,16 @@ class GraphAttentionTransformer(nn.Module):
     def build_graph(self, pos, batch, node_mask):
         if self.nodes_per_graph > 0:
             graphs = pos.shape[0] // self.nodes_per_graph
-            return radius_graph_dense(
+            edges = radius_graph_dense(
                 pos, node_mask, graphs, self.max_radius, self.max_edges
             )
+            if not self.higher_order_grads:
+                # reverse-twin permutation -> sorted src-side backward
+                # scatters (first-order custom-vjp path only)
+                edges = edges._replace(
+                    rev=reverse_edge_perm_dense(edges, graphs, self.nodes_per_graph)
+                )
+            return edges
         return radius_graph(pos, batch, node_mask, self.max_radius, self.max_edges)
 
     @nn.compact

@@ -380,18 +380,24 @@ class EdgeDegreeEmbedding(nn.Module):
         )
 
     def __call__(self, edge_attr, edge_scalars, edge_src, edge_dst, edge_mask, num_nodes):
-        ones = jnp.ones((num_nodes, 1), edge_attr.dtype)
-        feat = self.exp(ones)
+        # every node's expanded feature is the same linear image of the
+        # constant scalar 1, so the per-edge gather feat[edge_src] is a
+        # broadcast — identical forward AND gradients (the exp weight
+        # cotangent sums over all edges either way), but the backward is a
+        # regular sum instead of a scatter-add
+        num_edges = edge_src.shape[0]
+        feat1 = self.exp(jnp.ones((1, 1), edge_attr.dtype))
+        feat_e = jnp.broadcast_to(feat1, (num_edges, feat1.shape[-1]))
         w = self.rad(edge_scalars)
         if self._fused is not None:
             dtype = edge_attr.dtype
             head_ws = [[None if x is None else x.astype(dtype)
                         for x in self.proj.weight_list()]]
             Ws = self._fused_plan.pack_weights(head_ws)
-            out_flat = self._fused(feat[edge_src], edge_attr, w, Ws)
+            out_flat = self._fused(feat_e, edge_attr, w, Ws)
             edge_feat = self.proj.add_bias(self._fused_plan.split_output(out_flat)[0])
         else:
-            edge_feat = self.dw(feat[edge_src], edge_attr, w)
+            edge_feat = self.dw(feat_e, edge_attr, w)
             edge_feat = self.proj(edge_feat)
         return scaled_scatter_sum(
             edge_feat, edge_dst, num_nodes, self.avg_degree, mask=edge_mask,

@@ -181,3 +181,41 @@ def test_segment_softmax_custom_vjp_grads():
         g = jax.grad(lambda s: jnp.sum(segment_softmax(s, ids, N, mask=m, sorted=True) * w))(scores)
         g_ref = jax.grad(lambda s: jnp.sum(_segment_softmax_composed(s, ids, N, mask=m, sorted=True) * w))(scores)
         assert np.allclose(g, g_ref, atol=1e-5), np.abs(np.asarray(g) - np.asarray(g_ref)).max()
+
+
+def test_reverse_edge_perm_dense():
+    from equiformer_tpu.graph.batching import collate_dense
+    from equiformer_tpu.graph.radius_graph import (
+        radius_graph_dense,
+        reverse_edge_perm_dense,
+    )
+    from equiformer_tpu.graph.segment import gather_add
+
+    graphs = [
+        {"pos": RNG.normal(size=(n, 3)).astype(np.float32) * 1.5,
+         "species": np.zeros(n, np.int32), "y": 0.0}
+        for n in (5, 7, 4)
+    ]
+    b = collate_dense(graphs, max_nodes_per_graph=8)
+    M, G = 8, 3
+    edges = radius_graph_dense(jnp.asarray(b.pos), jnp.asarray(b.node_mask), G, 2.5, 256)
+    rev = reverse_edge_perm_dense(edges, G, M)
+    s, d, m = np.asarray(edges.src), np.asarray(edges.dst), np.asarray(edges.mask)
+    r = np.asarray(rev)
+    # every real edge's twin is the reversed pair
+    for e in np.nonzero(m)[0]:
+        assert s[r[e]] == d[e] and d[r[e]] == s[e], e
+
+    # rev-backed gather_add grads match the plain composition (padded-edge
+    # cotangents zeroed by a mask, as in the model)
+    N = G * M
+    xs = jnp.asarray(RNG.normal(size=(N, 5)).astype(np.float32))
+    xd = jnp.asarray(RNG.normal(size=(N, 5)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(len(s), 5)).astype(np.float32))
+    w = w * jnp.asarray(m)[:, None]
+    f = lambda a, bb: jnp.sum(gather_add(a, bb, edges.src, edges.dst, N, rev=rev) * w)
+    g = lambda a, bb: jnp.sum((a[edges.src] + bb[edges.dst]) * w)
+    ga = jax.grad(f, argnums=(0, 1))(xs, xd)
+    gr = jax.grad(g, argnums=(0, 1))(xs, xd)
+    for u, v in zip(ga, gr):
+        assert np.allclose(u, v, atol=1e-6)

@@ -71,7 +71,7 @@ def test_pbc_graph_respects_mask_and_batch():
         jnp.asarray(b.pos), jnp.asarray(b.extras["cell"]), jnp.asarray(b.node_mask),
         graphs=3, r=5.0, max_neighbors=12,
     )
-    src, dst, m = map(np.asarray, out.edges)
+    src, dst, m = map(np.asarray, (out.edges.src, out.edges.dst, out.edges.mask))
     # all real edges connect real nodes within the same graph
     assert np.all(b.node_mask[src[m]])
     assert np.all(b.node_mask[dst[m]])
@@ -82,7 +82,7 @@ def test_topk_truncation_keeps_nearest():
     pos = np.zeros((6, 3))
     pos[:, 0] = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
     el = radius_graph_topk(jnp.asarray(pos), jnp.ones(6, bool), 1, r=10.0, max_neighbors=2)
-    src, dst, m = map(np.asarray, el)
+    src, dst, m = map(np.asarray, (el.src, el.dst, el.mask))
     # atom 0's two nearest neighbors are atoms 1 and 2
     nb0 = sorted(src[(dst == 0) & m])
     assert nb0 == [1, 2]
