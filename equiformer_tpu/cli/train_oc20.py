@@ -54,6 +54,13 @@ def get_args(argv=None):
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel devices (reference g@N; overrides "
                         "config parallel.dp)")
+    p.add_argument("--sweep-yml", type=str, default=None,
+                   help="YAML of dot-keyed value lists; runs the cartesian "
+                        "grid (reference main_oc20.py --sweep-yml)")
+    p.add_argument("--submit", action="store_true",
+                   help="with --sweep-yml: emit a SLURM array script + "
+                        "per-cell configs instead of running locally "
+                        "(submitit-executor analog)")
     return p.parse_args(argv)
 
 
@@ -358,14 +365,61 @@ def _task_predict(trainer):
     return trainer.predict()
 
 
-def main(args):
-    """Registry-dispatched entry (reference main_oc20.py:60-66): config names
-    the trainer, the CLI mode names the task."""
-    cfg = resolve_config(args)
+def _run_one(args, cfg):
     trainer_cls = registry_get("trainer", cfg.get("trainer", "energy_v2"))
     trainer = trainer_cls(args, cfg)
     task = registry_get("task", args.mode)
     return task(trainer)
+
+
+def _submit_sweep(args, grid):
+    """Write per-cell config snapshots + a SLURM array script whose tasks
+    auto-requeue with --resume (the submitit Checkpointable analog,
+    reference main_oc20.py:108-130; SIGTERM checkpointing is already handled
+    in EnergyTrainerV2.train)."""
+    import yaml as _yaml
+
+    root = args.output_dir
+    os.makedirs(root, exist_ok=True)
+    for i, cfg in enumerate(grid):
+        with open(os.path.join(root, f"sweep_{i}.yml"), "w") as f:
+            _yaml.safe_dump(cfg, f)
+    script = os.path.join(root, "sweep_array.sh")
+    with open(script, "w") as f:
+        f.write(
+            "#!/bin/bash\n"
+            f"#SBATCH --array=0-{len(grid) - 1}\n"
+            "#SBATCH --requeue\n"
+            "#SBATCH --signal=TERM@120\n"
+            f"python -m equiformer_tpu.cli.train_oc20 \\\n"
+            f"  --config-yml {root}/sweep_${{SLURM_ARRAY_TASK_ID}}.yml \\\n"
+            f"  --output-dir {root}/cell_${{SLURM_ARRAY_TASK_ID}} --resume\n"
+        )
+    os.chmod(script, 0o755)
+    print(f"wrote {len(grid)} sweep configs + {script}")
+    return script
+
+
+def main(args):
+    """Registry-dispatched entry (reference main_oc20.py:60-66): config names
+    the trainer, the CLI mode names the task; --sweep-yml expands a config
+    grid (run sequentially, or emitted as a SLURM array with --submit)."""
+    cfg = resolve_config(args)
+    if args.sweep_yml:
+        from ..utils.config import create_grid
+
+        grid = create_grid(cfg, args.sweep_yml)
+        if args.submit:
+            return _submit_sweep(args, grid)
+        results = []
+        base_out = args.output_dir
+        for i, c in enumerate(grid):
+            args.output_dir = os.path.join(base_out, f"cell_{i}")
+            print(f"sweep cell {i}/{len(grid)}: {c.get('sweep_point')}")
+            results.append(_run_one(args, c))
+        args.output_dir = base_out
+        return results
+    return _run_one(args, cfg)
 
 
 if __name__ == "__main__":

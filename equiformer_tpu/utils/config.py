@@ -58,3 +58,32 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
 
 def build_config(path: str, overrides: Sequence[str] = ()) -> Dict[str, Any]:
     return apply_overrides(load_config(path), overrides)
+
+
+def create_grid(base_cfg: Dict[str, Any], sweep_yml: str) -> List[Dict[str, Any]]:
+    """Expand a sweep YAML of dot-keyed value lists into the cartesian grid of
+    configs (OCP ``create_grid`` equivalent, reference main_oc20.py:102-105).
+
+    Example sweep YAML::
+
+        optim.lr_initial: [5.0e-4, 2.0e-4]
+        model.alpha_drop: [0.1, 0.2]
+
+    -> 4 configs.  Each result carries a ``sweep_point`` dict naming its cell.
+    """
+    import copy
+    import itertools
+
+    with open(sweep_yml) as f:
+        sweep = yaml.safe_load(f) or {}
+    keys = list(sweep)
+    for k, v in sweep.items():
+        if not isinstance(v, list):
+            raise ValueError(f"sweep key {k!r} must map to a list, got {type(v)}")
+    grid = []
+    for vals in itertools.product(*(sweep[k] for k in keys)):
+        cfg = copy.deepcopy(base_cfg)
+        apply_overrides(cfg, [f"{k}={v}" for k, v in zip(keys, vals)])
+        cfg["sweep_point"] = {k: v for k, v in zip(keys, vals)}
+        grid.append(cfg)
+    return grid

@@ -168,3 +168,27 @@ def test_data_parallel_matches_single_device():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s8.params
     )
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_oc20_sweep_grid_and_submit(tmp_path):
+    """--sweep-yml expands the config grid; --submit emits the SLURM array
+    (reference main_oc20.py:102-130 submitit surface)."""
+    from equiformer_tpu.cli.train_oc20 import get_args, main
+    from equiformer_tpu.utils.config import create_grid
+
+    sw = tmp_path / "sweep.yml"
+    sw.write_text("optim.lr_initial: [5.0e-4, 2.0e-4]\nmodel.alpha_drop: [0.1, 0.2]\n")
+    grid = create_grid({"optim": {}, "model": {}}, str(sw))
+    assert len(grid) == 4
+    assert grid[0]["optim"]["lr_initial"] == 5e-4
+    assert grid[-1]["model"]["alpha_drop"] == 0.2
+
+    out = tmp_path / "sweepout"
+    args = get_args([
+        "--synthetic", "--sweep-yml", str(sw), "--submit",
+        "--output-dir", str(out),
+    ])
+    main(args)
+    script = (out / "sweep_array.sh").read_text()
+    assert "--array=0-3" in script and "--requeue" in script
+    assert (out / "sweep_3.yml").exists()
