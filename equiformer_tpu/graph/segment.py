@@ -225,6 +225,15 @@ def _sorted_softmax_bwd(num_segments, sorted, res, g):
 sorted_segment_softmax.defvjp(_sorted_softmax_fwd, _sorted_softmax_bwd)
 
 
+def active_edge_bound(mask):
+    """1 + index of the last real edge (0 if none) — the tile-skipping bound
+    for the fused edge kernels.  Correct for ANY mask layout: tail-padded
+    lists (the radius-graph builders) get full skipping; interleaved masks
+    (PBC top-k) simply skip nothing past the last real edge."""
+    E = mask.shape[0]
+    return jnp.max(jnp.where(mask, jnp.arange(E, dtype=jnp.int32) + 1, 0))
+
+
 def _expand(mask, data):
     return mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
 

@@ -400,7 +400,7 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
                 ] = val[:, g * mul : (g + 1) * mul]
 
 
-def _fwd_kernel(plan: DTPLinPlan, T, *refs):
+def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
     nG = len(plan.groups)
     if plan.fold_shared:
         x_ref, sh_ref, w_ref = refs[0], refs[1], None
@@ -426,19 +426,29 @@ def _fwd_kernel(plan: DTPLinPlan, T, *refs):
         for zs in z_scr:
             zs[:] = jnp.zeros_like(zs)
 
-    _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
-    _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
-    for gi, g in enumerate(plan.groups):
-        res = jnp.dot(
-            z_scr[gi][:], W_refs[gi][:], preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
-        for k in range(g.ir.dim):
-            out_ref[:, g.out_off + k * g.cols : g.out_off + (k + 1) * g.cols] = res[
-                k * T : (k + 1) * T, :
-            ]
+    # tiles past the real edge count (padding tail of the sorted edge list)
+    # skip all compute and emit zeros
+    active = pl.program_id(0) * T < n_ref[0]
+
+    @pl.when(active)
+    def _():
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
+        _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
+        for gi, g in enumerate(plan.groups):
+            res = jnp.dot(
+                z_scr[gi][:], W_refs[gi][:], preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+            for k in range(g.ir.dim):
+                out_ref[
+                    :, g.out_off + k * g.cols : g.out_off + (k + 1) * g.cols
+                ] = res[k * T : (k + 1) * T, :]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _bwd_kernel(plan: DTPLinPlan, T, *refs):
+def _bwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
     nG = len(plan.groups)
     if plan.fold_shared:
         x_ref, sh_ref, w_ref = refs[0], refs[1], None
@@ -474,6 +484,34 @@ def _bwd_kernel(plan: DTPLinPlan, T, *refs):
         for zs in z_scr:
             zs[:] = jnp.zeros_like(zs)
 
+    # tiles past the real edge count: zero cotangent blocks, skip compute
+    active = i * T < n_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dsh_ref[:] = jnp.zeros_like(dsh_ref)
+        if dw_ref is not None:
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        @pl.when(i == 0)
+        def _():
+            for gi in range(nG):
+                dW_refs[gi][:] = jnp.zeros_like(dW_refs[gi])
+
+    @pl.when(active)
+    def _():
+        _bwd_body(
+            plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
+            dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, dwa_scr,
+            i, n, wrow,
+        )
+
+
+def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
+              dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, dwa_scr,
+              i, n, wrow):
+    nG = len(plan.groups)
     _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
     cols = sh_ref[:]
     # recompute z (remat: cheaper than a 3136-wide HBM round trip)
@@ -629,7 +667,15 @@ def _bwd_kernel(plan: DTPLinPlan, T, *refs):
 
 
 def _shared_spec(shape):
-    return pl.BlockSpec(shape, lambda i: (0, 0))
+    return pl.BlockSpec(shape, lambda i, *_: (0, 0))
+
+
+def _n_scalar(n_edges, E):
+    """Real-edge count as the i32[1] scalar-prefetch operand (defaults to
+    all-active when the caller has no mask)."""
+    if n_edges is None:
+        return jnp.full((1,), E, jnp.int32)
+    return jnp.asarray(n_edges, jnp.int32).reshape((1,))
 
 
 def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bool] = None):
@@ -645,21 +691,21 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
     def w_spec(E):
         if plan.shared_weights:
             return _shared_spec((1, plan.d_w))
-        return pl.BlockSpec((T, plan.d_w), lambda i: (i, 0))
+        return pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
 
-    def fwd_call(x, sh, w, Ws):
+    def fwd_call(x, sh, w, Ws, n):
         E = x.shape[0]
         if plan.fold_shared:
             in_specs = [
-                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+                pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+                pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
             ] + [_shared_spec(W.shape) for W in Ws]
             w_scratch = []
             operands = (x, sh) + tuple(Ws)
         else:
             in_specs = [
-                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+                pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+                pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
                 w_spec(E),
             ] + [_shared_spec(W.shape) for W in Ws]
             w_scratch = [
@@ -669,19 +715,22 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
         return pl.pallas_call(
             functools.partial(_fwd_kernel, plan, T),
             out_shape=jax.ShapeDtypeStruct((E, plan.d_out), x.dtype),
-            grid=(E // T,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((T, plan.d_out), lambda i: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
-            + w_scratch
-            + [
-                pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
-                for g in plan.groups
-            ],
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(E // T,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)),
+                scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
+                + w_scratch
+                + [
+                    pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
+                    for g in plan.groups
+                ],
+            ),
             interpret=interpret,
-        )(*operands)
+        )(n, *operands)
 
-    def bwd_call(x, sh, w, Ws, g):
+    def bwd_call(x, sh, w, Ws, g, n):
         E = x.shape[0]
         z_scratch = [
             pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), x.dtype) for gr in plan.groups
@@ -698,8 +747,8 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
         )
         dW_specs = tuple(_shared_spec((gr.fan_pad, gr.cols)) for gr in plan.groups)
         edge_specs = [
-            pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-            pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
+            pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+            pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
         ]
         if plan.fold_shared:
             return pl.pallas_call(
@@ -709,24 +758,27 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                     jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
                 )
                 + dW_shapes,
-                grid=(E // T,),
-                in_specs=edge_specs
-                + [_shared_spec(W.shape) for W in Ws]
-                + [pl.BlockSpec((T, plan.d_out), lambda i: (i, 0))],
-                out_specs=(
-                    pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-                    pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
-                )
-                + dW_specs,
-                scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
-                + z_scratch + dz_scratch + g_scratch,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(E // T,),
+                    in_specs=edge_specs
+                    + [_shared_spec(W.shape) for W in Ws]
+                    + [pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0))],
+                    out_specs=(
+                        pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+                        pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
+                    )
+                    + dW_specs,
+                    scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
+                    + z_scratch + dz_scratch + g_scratch,
+                ),
                 interpret=interpret,
-            )(x, sh, *Ws, g)
+            )(n, x, sh, *Ws, g)
         dw_shape = (1, plan.d_w) if plan.shared_weights else (E, plan.d_w)
         dw_out_spec = (
             _shared_spec((1, plan.d_w))
             if plan.shared_weights
-            else pl.BlockSpec((T, plan.d_w), lambda i: (i, 0))
+            else pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
         )
         return pl.pallas_call(
             functools.partial(_bwd_kernel, plan, T),
@@ -736,44 +788,47 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                 jax.ShapeDtypeStruct(dw_shape, w.dtype),
             )
             + dW_shapes,
-            grid=(E // T,),
-            in_specs=edge_specs
-            + [w_spec(E)]
-            + [_shared_spec(W.shape) for W in Ws]
-            + [pl.BlockSpec((T, plan.d_out), lambda i: (i, 0))],
-            out_specs=(
-                pl.BlockSpec((T, plan.d_x), lambda i: (i, 0)),
-                pl.BlockSpec((T, plan.d_sh), lambda i: (i, 0)),
-                dw_out_spec,
-            )
-            + dW_specs,
-            scratch_shapes=[
-                pltpu.VMEM((T, plan.d_x_al), x.dtype),
-                pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype),
-            ]
-            + z_scratch + dz_scratch + g_scratch
-            + [pltpu.VMEM((1, plan.d_w_al), jnp.float32)],
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(E // T,),
+                in_specs=edge_specs
+                + [w_spec(E)]
+                + [_shared_spec(W.shape) for W in Ws]
+                + [pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0))],
+                out_specs=(
+                    pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
+                    dw_out_spec,
+                )
+                + dW_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((T, plan.d_x_al), x.dtype),
+                    pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype),
+                ]
+                + z_scratch + dz_scratch + g_scratch
+                + [pltpu.VMEM((1, plan.d_w_al), jnp.float32)],
+            ),
             interpret=interpret,
-        )(x, sh, w, *Ws, g)
+        )(n, x, sh, w, *Ws, g)
 
     if plan.fold_shared:
 
         @jax.custom_vjp
-        def fused_nw(x, sh, *Ws):
-            return fwd_call(x, sh, None, Ws)
+        def fused_nw(n, x, sh, *Ws):
+            return fwd_call(x, sh, None, Ws, n)
 
-        def fnw_fwd(x, sh, *Ws):
-            return fwd_call(x, sh, None, Ws), (x, sh, Ws)
+        def fnw_fwd(n, x, sh, *Ws):
+            return fwd_call(x, sh, None, Ws, n), (n, x, sh, Ws)
 
         def fnw_bwd(res, g):
-            x, sh, Ws = res
-            outs = bwd_call(x, sh, None, Ws, g)
+            n, x, sh, Ws = res
+            outs = bwd_call(x, sh, None, Ws, g, n)
             dWs = tuple(d.astype(W.dtype) for d, W in zip(outs[2:], Ws))
-            return (outs[0], outs[1]) + dWs
+            return (None, outs[0], outs[1]) + dWs
 
         fused_nw.defvjp(fnw_fwd, fnw_bwd)
 
-        def call(x, sh, w, Ws):
+        def call(x, sh, w, Ws, n_edges=None):
             """Fold the shared w into the packed weights, pad, run, unpad."""
             E = x.shape[0]
             pad = (-E) % T
@@ -781,28 +836,29 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
             if pad:
                 x = jnp.pad(x, ((0, pad), (0, 0)))
                 sh = jnp.pad(sh, ((0, pad), (0, 0)))
-            out = fused_nw(x, sh, *Ws)
+            n = _n_scalar(n_edges, E)
+            out = fused_nw(n, x, sh, *Ws)
             return out[:E] if pad else out
 
         return call
 
     @jax.custom_vjp
-    def fused(x, sh, w, *Ws):
-        return fwd_call(x, sh, w, Ws)
+    def fused(n, x, sh, w, *Ws):
+        return fwd_call(x, sh, w, Ws, n)
 
-    def f_fwd(x, sh, w, *Ws):
-        return fwd_call(x, sh, w, Ws), (x, sh, w, Ws)
+    def f_fwd(n, x, sh, w, *Ws):
+        return fwd_call(x, sh, w, Ws, n), (n, x, sh, w, Ws)
 
     def f_bwd(res, g):
-        x, sh, w, Ws = res
-        outs = bwd_call(x, sh, w, Ws, g)
+        n, x, sh, w, Ws = res
+        outs = bwd_call(x, sh, w, Ws, g, n)
         dx, dsh, dw = outs[0], outs[1], outs[2]
         dWs = tuple(d.astype(W.dtype) for d, W in zip(outs[3:], Ws))
-        return (dx, dsh, dw) + dWs
+        return (None, dx, dsh, dw) + dWs
 
     fused.defvjp(f_fwd, f_bwd)
 
-    def call(x, sh, w, Ws):
+    def call(x, sh, w, Ws, n_edges=None):
         """Pad edges to the tile, run, unpad."""
         E = x.shape[0]
         pad = (-E) % T
@@ -813,7 +869,8 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
             sh = jnp.pad(sh, ((0, pad), (0, 0)))
             if not plan.shared_weights:
                 w = jnp.pad(w, ((0, pad), (0, 0)))
-        out = fused(x, sh, w, *Ws)
+        n = _n_scalar(n_edges, E)
+        out = fused(n, x, sh, w, *Ws)
         return out[:E] if pad else out
 
     return call

@@ -15,7 +15,13 @@ import jax.numpy as jnp
 
 from ..core.irreps import Irreps
 from ..graph.radius_graph import EdgeList
-from ..graph.segment import degree, gather_add, segment_softmax, segment_sum
+from ..graph.segment import (
+    active_edge_bound,
+    degree,
+    gather_add,
+    segment_softmax,
+    segment_sum,
+)
 from ..nn.attention_utils import heads2vec, vec2heads
 from ..nn.dropout import EquivariantDropout
 from ..nn.linear import IrrepsLinear
@@ -91,7 +97,8 @@ class DotProductAttention(nn.Module):
                 self.merge_src(node_input), self.merge_dst(node_input),
                 edges.src, edges.dst, num_nodes, rev=edges.rev,
             )
-        kv = self.key_value(kv, edge_attr=edge_attr, edge_scalars=edge_scalars)
+        kv = self.key_value(kv, edge_attr=edge_attr, edge_scalars=edge_scalars,
+                            n_edges=active_edge_bound(edges.mask))
         kv = vec2heads(head, 2 * H, kv)  # [E, 2H, head_dim]
         k = kv[:, :H, :]
         v = kv[:, H:, :]

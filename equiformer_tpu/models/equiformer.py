@@ -36,6 +36,7 @@ from ..graph.radius_graph import (
     reverse_edge_perm_dense,
 )
 from ..graph.segment import (
+    active_edge_bound,
     degree,
     gather_add,
     scaled_scatter_sum,
@@ -154,19 +155,23 @@ class GraphAttention(nn.Module):
                 msg_src, msg_dst, edges.src, edges.dst, num_nodes, rev=edges.rev
             )
 
+        n_edges = active_edge_bound(edges.mask)  # fused-kernel tile skipping
         if self.nonlinear_message:
             w = self.sep_act.dtp_weights(edge_scalars)
             # one (fused, when available) DTP evaluates both linear heads on
             # the unsimplified message: the gate input and the alpha scalars
             value, alpha = self.sep_act.dtp_lin(
-                message, edge_attr, w, extra_heads=(self.sep_alpha,)
+                message, edge_attr, w, extra_heads=(self.sep_alpha,),
+                n_edges=n_edges,
             )
             alpha = vec2heads(Irreps(f"{mah}x0e"), H, alpha)  # [E, H, mah]
             value = self.sep_act.apply_gate_fn(value)
-            value = self.sep_value(value, edge_attr=edge_attr, edge_scalars=None)
+            value = self.sep_value(value, edge_attr=edge_attr, edge_scalars=None,
+                                   n_edges=n_edges)
             value = vec2heads(head, H, value)  # [E, H, head_dim]
         else:
-            message = self.sep(message, edge_attr=edge_attr, edge_scalars=edge_scalars)
+            message = self.sep(message, edge_attr=edge_attr, edge_scalars=edge_scalars,
+                               n_edges=n_edges)
             message = vec2heads(
                 (Irreps(f"{mah}x0e") + head).simplify(), H, message
             )

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.irreps import Irrep, Irreps
 from ..core.tensor_product import TensorProduct, depthwise_tp, fully_connected_tp
-from ..graph.segment import scaled_scatter_sum
+from ..graph.segment import active_edge_bound, scaled_scatter_sum
 from .activation import Activation, Gate, gate_for, irreps2gate
 from .linear import IrrepsLinear
 from .norms import get_norm_layer
@@ -276,7 +276,8 @@ class SeparableFCTP(nn.Module):
             else:
                 self.gate = Gate(scalars, gates, gated)
 
-    def dtp_lin(self, node_on_edge, edge_attr, weights, extra_heads=()):
+    def dtp_lin(self, node_on_edge, edge_attr, weights, extra_heads=(),
+                n_edges=None):
         """dtp -> (lin, *extra_head linears), fused into one kernel when
         available.  ``extra_heads`` are bound IrrepsLinear modules matching
         ``extra_head_irreps``.  Returns a single array (no extra heads) or a
@@ -292,7 +293,8 @@ class SeparableFCTP(nn.Module):
                 for h in heads
             ]
             Ws = self._fused_plan.pack_weights(head_ws)
-            out_flat = self._fused(node_on_edge, edge_attr, weights, Ws)
+            out_flat = self._fused(node_on_edge, edge_attr, weights, Ws,
+                                   n_edges=n_edges)
             outs = self._fused_plan.split_output(out_flat)
             outs = [h.add_bias(o) for h, o in zip(heads, outs)]
         else:
@@ -308,11 +310,12 @@ class SeparableFCTP(nn.Module):
         batch=None,
         num_graphs=None,
         apply_gate: bool = True,
+        n_edges=None,
     ):
         w = None
         if self.fc_neurons is not None and edge_scalars is not None:
             w = self.dtp_rad(edge_scalars)
-        out = self.dtp_lin(node_on_edge, edge_attr, w)
+        out = self.dtp_lin(node_on_edge, edge_attr, w, n_edges=n_edges)
         if self.norm_layer is not None:
             out = self.norm(out, batch=batch, num_graphs=num_graphs)
         if self.use_activation and apply_gate:
@@ -394,7 +397,8 @@ class EdgeDegreeEmbedding(nn.Module):
             head_ws = [[None if x is None else x.astype(dtype)
                         for x in self.proj.weight_list()]]
             Ws = self._fused_plan.pack_weights(head_ws)
-            out_flat = self._fused(feat_e, edge_attr, w, Ws)
+            n_edges = active_edge_bound(edge_mask) if edge_mask is not None else None
+            out_flat = self._fused(feat_e, edge_attr, w, Ws, n_edges=n_edges)
             edge_feat = self.proj.add_bias(self._fused_plan.split_output(out_flat)[0])
         else:
             edge_feat = self.dw(feat_e, edge_attr, w)

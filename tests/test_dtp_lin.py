@@ -171,3 +171,28 @@ def test_model_fused_vs_unfused(monkeypatch):
     ):
         scale = max(1.0, float(jnp.max(jnp.abs(v))))
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4 * scale)
+
+
+def test_fused_dtp_lin_tile_skipping():
+    """n_edges < E: fully-padded tail tiles emit zeros and zero cotangents,
+    active-tile results are unchanged."""
+    x, sh, w = _data()  # E = 256 = two tiles at T=128
+    plan = DTPLinPlan(TP, [LIN_OUT])
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True)
+    hws = [_head_ws(LIN_OUT, 3)]
+    Ws = plan.pack_weights(hws)
+    n = 100  # tile 0 active, tile 1 fully padded
+
+    out_n = fused(x, sh, w, Ws, n_edges=jnp.asarray(n))
+    out_full = fused(x, sh, w, Ws)
+    np.testing.assert_allclose(np.asarray(out_n[:128]), np.asarray(out_full[:128]))
+    assert np.all(np.asarray(out_n[128:]) == 0.0)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a)[:n] ** 2)
+
+    gn = jax.grad(loss(lambda x, s, w: fused(x, s, w, Ws, n_edges=jnp.asarray(n))),
+                  argnums=(0, 1, 2))(x, sh, w)
+    gf = jax.grad(loss(lambda x, s, w: fused(x, s, w, Ws)), argnums=(0, 1, 2))(x, sh, w)
+    for a, b in zip(gn, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
