@@ -78,6 +78,14 @@ class DTPLinPlan:
     ):
         self.tp = tp
         self.shared_weights = shared_weights
+        # the slot layout gives each (block, component) one 128-lane slot;
+        # multiplicities beyond a lane (e.g. OC20's 256x0e) would overflow it
+        # — callers fall back to the composed PallasDTP + linear path
+        for mul, _ in tp.irreps_in1:
+            if mul > LANE:
+                raise ValueError(
+                    f"fused DTP+linear supports mul <= {LANE}, got {mul}"
+                )
         # sh is pure geometry (edge vectors); models that never differentiate
         # wrt positions (QM9/OC20 - exactly the users of this first-order
         # path) can skip the dsh transpose entirely and take a zero cotangent

@@ -196,3 +196,23 @@ def test_fused_dtp_lin_tile_skipping():
     gf = jax.grad(loss(lambda x, s, w: fused(x, s, w, Ws)), argnums=(0, 1, 2))(x, sh, w)
     for a, b in zip(gn, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_dtp_lin_rejects_large_mul():
+    """mul > 128 (OC20's 256x0e) overflows the 128-lane slot layout; the plan
+    must refuse so model builders fall back to the composed kernels."""
+    big = Irreps("256x0e+128x1e")
+    tp_big = depthwise_tp(big, Irreps("1x0e+1x1e"), big)
+    with pytest.raises(ValueError):
+        DTPLinPlan(tp_big, [big])
+
+    from equiformer_tpu.nn.tp_modules import _make_fused_plan
+
+    # force the pallas-enabled path so the ValueError fallback is the thing
+    # under test (CPU default would short-circuit to None anyway)
+    os.environ["EQUIFORMER_TPU_PALLAS"] = "1"
+    try:
+        fplan, fused = _make_fused_plan(tp_big, [big], False, False)
+    finally:
+        del os.environ["EQUIFORMER_TPU_PALLAS"]
+    assert fplan is None and fused is None
