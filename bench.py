@@ -1,23 +1,38 @@
-"""Benchmark: QM9 Equiformer training throughput (graphs/sec/chip).
+"""Benchmark: Equiformer training throughput (graphs/sec/chip) per dataset.
 
-Runs the flagship graph_attention_transformer_nonlinear_l2 full training step
-(forward + backward + AdamW + EMA, alpha dropout active) on synthetic batches
-with QM9 statistics (avg 18 atoms, r=5A radius graphs), batch 128 — the
-reference training configuration (main_qm9.py defaults).  Features run in
-bfloat16 by default (the analog of the reference's AMP training,
-engine.py:58-81); pass --fp32 for full precision.
+Default task (the driver's headline number) is QM9: the flagship
+graph_attention_transformer_nonlinear_l2 full training step (forward +
+backward + AdamW + EMA, alpha dropout active) on synthetic batches with QM9
+statistics (avg 18 atoms, r=5A radius graphs), batch 128 — the reference
+training configuration (main_qm9.py defaults).  Features run in bfloat16 by
+default (the analog of the reference's AMP training, engine.py:58-81); pass
+--fp32 for full precision.
+
+--task oc20: the reference's OC20 IS2RE headline model (l1_256_nonlinear,
+oc20/configs/is2re/all/graph_attention_transformer/l1_256_nonlinear_g@2_local.yml:
+256x0e+128x1e, 6 blocks, nonlinear messages, r=5.0 PBC graphs), batch 32.
+
+--task md17: the MD17 energy+force step (nonlinear_exp_l3, the paper's
+headline aspirin config) with forces = -dE/dpos inside the loss, i.e. double
+backward through the network (graph_attention_transformer_md17.py:318-325),
+batch 8 (main_md17.py default).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Timing protocol: the remote-TPU backend's block_until_ready does not imply
-execution completed, so the loop host-materializes the loss every 10 steps
-(true sync; ~100ms tunnel RTT amortized to <5%).
+execution completed, so the loop host-materializes the loss every 25 steps
+(true sync; ~100ms tunnel RTT amortized to <4%).
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md); we use
-an estimated 400 graphs/sec for PyTorch Equiformer QM9 AMP training on one
-A100 (batch 128, ~3.5M params, e3nn TPs) as the denominator — the
-BASELINE.json target of 3x then corresponds to vs_baseline >= 3.0.  See
-BASELINE.md "Throughput baseline derivation" for how 400 g/s was estimated.
+Baselines: the reference publishes no throughput numbers (BASELINE.md); the
+QM9 denominator is an estimated 400 graphs/sec for PyTorch Equiformer QM9 AMP
+training on one A100 (batch 128, ~3.5M params, e3nn TPs) — the BASELINE.json
+target of 3x then corresponds to vs_baseline >= 3.0.  See BASELINE.md
+"Throughput baseline derivation".  OC20/MD17 denominators are FLOPs-scaled
+from the same estimate: baseline_task = 400 * qm9_flops_per_graph /
+task_flops_per_graph (per-graph FLOPs from XLA cost analysis of the einsum
+lowering), i.e. we assume the reference is equally FLOP-efficient per dataset
+— generous to the reference, since its e3nn TP launch overhead grows with the
+larger OC20/MD17 models.
 
 MFU: FLOPs/step come from XLA's cost analysis of the *einsum-path* model
 (EQUIFORMER_TPU_PALLAS=0) lowered on CPU — the Pallas kernels compute exactly
@@ -35,11 +50,38 @@ import time
 
 import numpy as np
 
-A100_BASELINE_GRAPHS_PER_SEC = 400.0
+A100_BASELINE_GRAPHS_PER_SEC = 400.0  # QM9 nonlinear_l2, batch 128, AMP
+# 955.6 GFLOPs/step at batch 128 (XLA cost analysis, einsum lowering)
+QM9_FLOPS_PER_GRAPH = 955633172480.0 / 128.0
 TPU_V5E_PEAK_BF16_FLOPS = 197e12  # per chip (Google's published v5e spec)
 
+DEFAULT_BATCH = {"qm9": 128, "oc20": 32, "md17": 8}
 
-def step_flops(batch_size: int) -> float:
+
+def tight_edge_cap(data, batch_size, r, slack: int = 128) -> int:
+    """Exact per-batch edge capacity from a host-side dataset scan (VERDICT r2
+    item 8: stop paying for the 1.3x slack formula's ~25% edge padding).
+
+    Counts radius_graph edges per graph with the same O(N^2) masked-distance
+    rule the device builder uses (graph/radius_graph.py:radius_graph_dense),
+    sums over the loader's sequential batch chunks, and returns the max,
+    rounded up to the 128-edge tile plus one tile of slack for fp32 boundary
+    ties between host and device arithmetic.  No graph ever drops an edge."""
+    counts = []
+    for g in data:
+        pos = np.asarray(g["pos"], np.float32)
+        d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+        adj = d2 < np.float32(r * r)
+        np.fill_diagonal(adj, False)
+        counts.append(int(adj.sum()))
+    per_batch = [
+        sum(counts[i : i + batch_size])
+        for i in range(0, len(counts) - batch_size + 1, batch_size)
+    ]
+    return ((max(per_batch) + slack + 127) // 128) * 128
+
+
+def step_flops(task: str, batch_size: int) -> float:
     """Analytic FLOPs for one training step at this batch size, via XLA cost
     analysis of the einsum-path model lowered on CPU (run in a subprocess so
     the parent's backend choice is untouched).  Returns 0.0 on failure."""
@@ -48,8 +90,8 @@ def step_flops(batch_size: int) -> float:
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flops-only",
-             "--batch", str(batch_size)],
-            capture_output=True, text=True, timeout=1200, env=env,
+             "--task", task, "--batch", str(batch_size)],
+            capture_output=True, text=True, timeout=2400, env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith('{"flops_per_step"'):
@@ -59,41 +101,25 @@ def step_flops(batch_size: int) -> float:
     return 0.0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true", help="tiny model on CPU")
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--warmup", type=int, default=10)
-    ap.add_argument("--remat", action="store_true", help="rematerialize blocks (saves memory, ~30%% slower)")
-    ap.add_argument("--fp32", action="store_true",
-                    help="full fp32 features (default bf16, matching the reference's AMP training)")
-    ap.add_argument("--flops-only", action="store_true",
-                    help="lower the train step on CPU and print analytic FLOPs/step")
-    args = ap.parse_args()
-
-    import jax
-
-    if args.smoke or args.flops_only:
-        jax.config.update("jax_platforms", "cpu")
-
+def build_qm9(args, batch_size):
     import jax.numpy as jnp
+    import jax.tree_util as jtu
 
     from equiformer_tpu.core import Irreps
     from equiformer_tpu.data import GraphLoader, qm9_like_dataset
     from equiformer_tpu.models import GraphAttentionTransformer, model_entrypoint
     from equiformer_tpu.train import (
-        TrainState,
-        cosine_warmup_schedule,
-        create_optimizer,
-        make_qm9_steps,
+        TrainState, cosine_warmup_schedule, create_optimizer, make_qm9_steps,
     )
 
-    batch_size = 8 if args.smoke else args.batch
     slots = 30  # per-graph node slots (QM9 molecules have <= 29 atoms)
     node_cap = batch_size * slots
-    # avg 18 atoms x avg degree 15.6 x 1.3 slack
-    edge_cap = ((int(batch_size * 18 * 15.6 * 1.3) + 127) // 128) * 128
+    data = qm9_like_dataset(batch_size * 4, seed=0)
+    if args.loose_edges:
+        # the round-2 formula: avg 18 atoms x avg degree 15.6 x 1.3 slack
+        edge_cap = ((int(batch_size * 18 * 15.6 * 1.3) + 127) // 128) * 128
+    else:
+        edge_cap = tight_edge_cap(data, batch_size, 5.0)
 
     if args.smoke:
         model = GraphAttentionTransformer(
@@ -116,26 +142,174 @@ def main():
             compute_dtype=None if args.fp32 else "bfloat16",
         )
 
-    data = qm9_like_dataset(batch_size * 4, seed=0)
     loader = GraphLoader(
         data, batch_size=batch_size, node_capacity=node_cap, shuffle=False,
         dense_slots=slots,
     )
-    import jax.tree_util as jtu
-
-    # device-resident batches: measure the device step, not host conversion
     batches = [jtu.tree_map(jnp.asarray, b) for b in loader]
-    batch = batches[0]
 
-    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), batches[0], deterministic=True)
     opt = create_optimizer(
         cosine_warmup_schedule(5e-4, 100, 100000), weight_decay=5e-3
     )
     train_step, _ = make_qm9_steps(model, opt, 0.0, 1.0, "l1")
     state = TrainState.create(params, opt)
+    return train_step, state, batches
+
+
+def build_oc20(args, batch_size):
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from equiformer_tpu.data import oc20_like_dataset
+    from equiformer_tpu.graph.batching import collate_dense
+    from equiformer_tpu.models.oc20 import GraphAttentionTransformerOC20
+    from equiformer_tpu.train import (
+        TrainState, cosine_warmup_schedule, create_optimizer,
+    )
+    from equiformer_tpu.train.oc20_engine import make_oc20_steps
+
+    from equiformer_tpu.core import Irreps
+
+    slots = 16 if args.smoke else 80  # IS2RE systems have 40-80 atoms (avg 77.8)
+    # l1_256_nonlinear config (reference yml above); max_neighbors=50 is the
+    # static top-k cap (real avg degree is 23.4, reference dynamic cap 500)
+    cfg = dict(
+        max_radius=5.0,
+        max_neighbors=50,
+        nonlinear_message=True,
+        compute_dtype=None if args.fp32 else "bfloat16",
+    )
+    if args.smoke:
+        cfg.update(
+            num_layers=2, max_neighbors=12,
+            irreps_node_embedding=Irreps("16x0e+8x1e"),
+            irreps_feature=Irreps("32x0e"),
+            irreps_head=Irreps("4x0e+2x1e"), num_heads=2,
+            irreps_mlp_mid=Irreps("24x0e+12x1e"),
+            number_of_basis=16, fc_neurons=(16, 16),
+        )
+    model = GraphAttentionTransformerOC20(**cfg)
+    data = oc20_like_dataset(
+        batch_size * 4, seed=0,
+        **({"min_atoms": 8, "max_atoms": 16} if args.smoke else {}),
+    )
+    batches = []
+    for i in range(0, len(data), batch_size):
+        b = collate_dense(
+            data[i : i + batch_size], slots,
+            extra_node_keys=("tags", "pos_relaxed"), extra_graph_keys=("cell",),
+        )
+        batches.append(jtu.tree_map(jnp.asarray, b))
+
+    params = model.init(jax.random.PRNGKey(0), batches[0], deterministic=True)
+    opt = create_optimizer(
+        cosine_warmup_schedule(2e-4, 100, 100000), weight_decay=1e-3
+    )
+    # IS2RE all-split normalizers (oc20/configs/is2re/all/base.yml:6-7)
+    train_step, _ = make_oc20_steps(
+        model, opt, target_mean=-1.525913, target_std=2.279365,
+    )
+    state = TrainState.create(params, opt)
+    return train_step, state, batches
+
+
+def build_md17(args, batch_size):
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from equiformer_tpu.data import GraphLoader, md17_like_dataset
+    from equiformer_tpu.models import model_entrypoint
+    from equiformer_tpu.train import (
+        TrainState, cosine_warmup_schedule, create_optimizer, make_md17_steps,
+    )
+
+    slots = 21  # aspirin
+    node_cap = batch_size * slots
+    data = md17_like_dataset(batch_size * 4, num_atoms=slots, seed=0)
+    # aspirin r=5 graphs are nearly complete (~21*20 edges/graph)
+    edge_cap = (
+        ((batch_size * 21 * 20 + 127) // 128) * 128
+        if args.loose_edges
+        else tight_edge_cap(data, batch_size, 5.0)
+    )
+    if args.smoke:
+        from equiformer_tpu.core import Irreps
+        from equiformer_tpu.models import GraphAttentionTransformer
+
+        model = GraphAttentionTransformer(
+            irreps_node_embedding=Irreps("16x0e+8x1e"),
+            num_layers=2,
+            irreps_sh=Irreps("1x0e+1x1e"),
+            number_of_basis=16,
+            basis_type="exp",
+            fc_neurons=(16, 16),
+            irreps_feature=Irreps("32x0e"),
+            irreps_head=Irreps("4x0e+2x1e"),
+            num_heads=2,
+            irreps_mlp_mid=Irreps("24x0e+12x1e"),
+            nonlinear_message=True,
+            max_atom_type=64,
+            max_edges=edge_cap,
+            nodes_per_graph=slots,
+        )
+    else:
+        model = model_entrypoint("graph_attention_transformer_nonlinear_exp_l3_md17")(
+            radius=5.0, num_basis=128, max_edges=edge_cap, nodes_per_graph=slots,
+            compute_dtype=None if args.fp32 else "bfloat16",
+            remat=args.remat,
+        )
+    loader = GraphLoader(
+        data, batch_size=batch_size, node_capacity=node_cap, shuffle=False,
+        dense_slots=slots, with_forces=True,
+    )
+    batches = [jtu.tree_map(jnp.asarray, b) for b in loader]
+
+    params = model.init(jax.random.PRNGKey(0), batches[0], deterministic=True)
+    opt = create_optimizer(
+        cosine_warmup_schedule(5e-4, 100, 100000), weight_decay=1e-6
+    )
+    # script weights (scripts/train/md17/equiformer/l3/target@aspirin.sh: 1/80)
+    train_step, _ = make_md17_steps(
+        model, opt, energy_weight=1.0, force_weight=80.0
+    )
+    state = TrainState.create(params, opt)
+    return train_step, state, batches
+
+
+BUILDERS = {"qm9": build_qm9, "oc20": build_oc20, "md17": build_md17}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=("qm9", "oc20", "md17"), default="qm9")
+    ap.add_argument("--smoke", action="store_true", help="tiny model on CPU")
+    ap.add_argument("--batch", type=int, default=0, help="0 = per-task default")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--remat", action="store_true", help="rematerialize blocks (saves memory, ~30%% slower)")
+    ap.add_argument("--loose-edges", action="store_true",
+                    help="round-2 1.3x-slack edge capacity instead of the exact dataset scan")
+    ap.add_argument("--fp32", action="store_true",
+                    help="full fp32 features (default bf16, matching the reference's AMP training)")
+    ap.add_argument("--flops-only", action="store_true",
+                    help="lower the train step on CPU and print analytic FLOPs/step")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke or args.flops_only:
+        jax.config.update("jax_platforms", "cpu")
+
+    batch_size = 8 if args.smoke else (args.batch or DEFAULT_BATCH[args.task])
+    train_step, state, batches = BUILDERS[args.task](args, batch_size)
 
     if args.flops_only:
-        lowered = jax.jit(train_step).lower(state, batch, jax.random.PRNGKey(1))
+        lowered = jax.jit(train_step).lower(state, batches[0], jax.random.PRNGKey(1))
         cost = lowered.cost_analysis() or {}
         print(json.dumps({"flops_per_step": float(cost.get("flops", 0.0))}))
         return
@@ -164,17 +338,28 @@ def main():
     graphs_per_sec = batch_size * n_steps / dt
 
     result = {
-        "metric": "qm9_train_throughput",
+        "metric": f"{args.task}_train_throughput",
         "value": round(graphs_per_sec, 2),
         "unit": "graphs/sec/chip",
-        "vs_baseline": round(graphs_per_sec / A100_BASELINE_GRAPHS_PER_SEC, 3),
     }
+    baseline = A100_BASELINE_GRAPHS_PER_SEC
     if not args.smoke:
-        flops = step_flops(batch_size)
+        flops = step_flops(args.task, batch_size)
         if flops > 0:
             achieved = flops * (graphs_per_sec / batch_size)
             result["flops_per_step"] = flops
             result["mfu"] = round(achieved / TPU_V5E_PEAK_BF16_FLOPS, 5)
+            if args.task != "qm9":
+                # FLOPs-scaled denominator (see module docstring)
+                baseline = A100_BASELINE_GRAPHS_PER_SEC * QM9_FLOPS_PER_GRAPH / (
+                    flops / batch_size
+                )
+                result["baseline_graphs_per_sec"] = round(baseline, 2)
+        elif args.task != "qm9":
+            baseline = None
+    if baseline:
+        result["vs_baseline"] = round(graphs_per_sec / baseline, 3)
+    # keep key order stable for the driver: metric/value/unit/vs_baseline
     print(json.dumps(result))
 
 

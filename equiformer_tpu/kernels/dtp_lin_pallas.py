@@ -78,14 +78,12 @@ class DTPLinPlan:
     ):
         self.tp = tp
         self.shared_weights = shared_weights
-        # the slot layout gives each (block, component) one 128-lane slot;
-        # multiplicities beyond a lane (e.g. OC20's 256x0e) would overflow it
-        # — callers fall back to the composed PallasDTP + linear path
-        for mul, _ in tp.irreps_in1:
-            if mul > LANE:
-                raise ValueError(
-                    f"fused DTP+linear supports mul <= {LANE}, got {mul}"
-                )
+        # the slot layout gives each (block, component, 128-lane sub-slot) one
+        # slot; blocks with mul > 128 (OC20's 256x0e,
+        # /root/reference/nets/graph_attention_transformer_oc20.py:84) are
+        # split into ceil(mul/128) sub-slots whose x/w offsets and z fan
+        # columns shift together — for uvu the in1/weight/out muls agree, so
+        # every FMA term splits uniformly across the sub-slots
         # sh is pure geometry (edge vectors); models that never differentiate
         # wrt positions (QM9/OC20 - exactly the users of this first-order
         # path) can skip the dsh transpose entirely and take a zero cotangent
@@ -108,21 +106,29 @@ class DTPLinPlan:
                 p //= 2
             return p
 
-        # ---- 128-aligned slot layouts for x and w: (lane offset, mul, pack)
+        # ---- 128-aligned slot layouts for x and w: (lane offset, mul, pack);
+        # mul > 128 blocks contribute one entry per 128-lane sub-slot, keyed
+        # at the sub-slot's absolute offset in the flat operand
         self.x_slots = {}
         acc = 0
         in_slices = tp.irreps_in1.slices()
         for bi, (mul, ir) in enumerate(tp.irreps_in1):
             for c in range(ir.dim):
-                self.x_slots[in_slices[bi].start + c * mul] = (acc, mul, _pack(mul))
-                acc += LANE
+                base = in_slices[bi].start + c * mul
+                for s in range(0, mul, LANE):
+                    m = min(LANE, mul - s)
+                    self.x_slots[base + s] = (acc, m, _pack(m))
+                    acc += LANE
         self.d_x_al = acc
         self.w_slots = {}
         acc = 0
         for ii, ins in enumerate(tp.instructions):
             mul = tp.irreps_in1[ins.i_in1].mul
-            self.w_slots[tp._offsets[ii]] = (acc, mul, _pack(mul))
-            acc += LANE
+            base = tp._offsets[ii]
+            for s in range(0, mul, LANE):
+                m = min(LANE, mul - s)
+                self.w_slots[base + s] = (acc, m, _pack(m))
+                acc += LANE
         self.d_w_al = acc
         self.d_x = tp.irreps_in1.dim
         self.d_sh = tp.irreps_in2.dim
@@ -165,13 +171,22 @@ class DTPLinPlan:
             # exact [fc:fc+mul] sub-slices) sit back-to-back at their real
             # mul instead of one 128-lane slot each — halves the MXU K dim
             # and the W VMEM; unpacked blocks with mul<128 still get a full
-            # LANE slot because their z write covers LANE lanes (zero pad)
+            # LANE slot because their z write covers LANE lanes (zero pad).
+            # mul > 128 blocks span contiguous full-LANE sub-slots (only a
+            # packed tail shrinks), so sub s writes fan cols fan_slot[bo]+s
+            # and pack_weights' single contiguous row update stays valid.
+            def _fan_width(m):
+                full, tail = divmod(m, LANE)
+                w = full * LANE
+                if tail:
+                    w += tail if _pack(tail) > 1 else LANE
+                return w
+
             fan_slot = {}
             acc = 0
             for bo in bos:
-                m = tp.irreps_out[bo].mul
                 fan_slot[bo] = acc
-                acc += m if (_pack(m) > 1 or m >= LANE) else LANE
+                acc += _fan_width(tp.irreps_out[bo].mul)
             fan_pad = ((acc + LANE - 1) // LANE) * LANE
             g = _Group(ir, bos, fan_slot, fan_pad, cols, out_off)
             self.groups.append(g)
@@ -190,9 +205,29 @@ class DTPLinPlan:
             gi = live_blocks[bo]
             start = out_slices[bo].start
             for c in range(ir.dim):
-                zmap[start + c * mul] = (gi, c, self.groups[gi].fan_slot[bo])
-        kept = []
+                for s in range(0, mul, LANE):
+                    zmap[start + c * mul + s] = (
+                        gi, c, self.groups[gi].fan_slot[bo] + s
+                    )
+
+        # split terms whose block mul exceeds a lane: for uvu the x, w, and z
+        # offsets all shift by the same sub-slot stride
+        split_terms = []
         for t in terms:
+            if t.mul <= LANE:
+                split_terms.append(t)
+                continue
+            for s in range(0, t.mul, LANE):
+                split_terms.append(
+                    t._replace(
+                        a_off=t.a_off + s,
+                        b_off=t.b_off + s,
+                        out_off=t.out_off + s,
+                        mul=min(LANE, t.mul - s),
+                    )
+                )
+        kept = []
+        for t in split_terms:
             if t.out_off in zmap:
                 kept.append((t, zmap[t.out_off]))
         self._terms = tuple(kept)  # [(Term, (gi, k, fan_col))]
@@ -201,10 +236,12 @@ class DTPLinPlan:
         written = {(gi, k, fc) for _, (gi, k, fc) in self._terms}
         for gi, g in enumerate(self.groups):
             for bo in g.blocks:
+                mul = tp.irreps_out[bo].mul
                 for c in range(g.ir.dim):
-                    assert (gi, c, g.fan_slot[bo]) in written, (
-                        "z slot never written; zero-init would be required"
-                    )
+                    for s in range(0, mul, LANE):
+                        assert (gi, c, g.fan_slot[bo] + s) in written, (
+                            "z slot never written; zero-init would be required"
+                        )
 
         # ---- shared-weight folding: when weights are shared across edges the
         # per-path weight is a per-fan-column constant, so z@(diag(w_rows) W)
@@ -311,13 +348,12 @@ class DTPLinPlan:
 # ------------------------------------------------------------------ kernels
 
 
-def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow, T):
+def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, T):
     """Copy x and w into the 128-aligned slot scratches.
 
     Packed slots (p > 1) lay p contiguous row-groups of T/p edges side by
     side on the lanes, so the FMA phase runs with all 128 lanes busy; p == 1
     slots keep the plain layout with zeroed pad lanes."""
-    shared = plan.shared_weights
     # pad lanes only exist when a slot is not fully packed (p*mul < 128);
     # zero just those slots once instead of the whole scratch every tile
     for off, (slot, mul, p) in plan.x_slots.items():
@@ -338,11 +374,8 @@ def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, wrow, T):
         if p * mul < LANE:
             w_al[:, slot : slot + LANE] = jnp.zeros_like(w_al[:, slot : slot + LANE])
     for off, (slot, mul, p) in plan.w_slots.items():
-        if p == 1 or shared:
-            for g in range(1 if p == 1 else p):
-                w_al[:, slot + g * mul : slot + (g + 1) * mul] = w_ref[
-                    wrow, off : off + mul
-                ]
+        if p == 1:
+            w_al[:, slot : slot + mul] = w_ref[:, off : off + mul]
         else:
             r = T // p
             for g in range(p):
@@ -389,7 +422,6 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
         v = (t.coeff * cp) * a
         key = (gi, k, fc, t.b_off)
         slot_acc[key] = v if key not in slot_acc else slot_acc[key] + v
-    shared = plan.shared_weights
     for (gi, k, fc, b_off), acc in slot_acc.items():
         ws, mul, p = plan.w_slots[b_off]
         r = T // p
@@ -397,8 +429,7 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
         if w_al is None:  # fold_shared: w applied via the packed linear W
             val = acc
         else:
-            wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
-            val = acc * wv
+            val = acc * w_al[:r, ws : ws + lanes]
         if p == 1:
             z_scr[gi][k * T : (k + 1) * T, fc : fc + LANE] = val
         else:
@@ -425,7 +456,6 @@ def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
     else:
         w_al = rest[nG + 2]
         z_scr = rest[nG + 3 :]
-    wrow = slice(None) if not plan.shared_weights else slice(0, 1)
 
     # packed slots write only fc:fc+mul lanes of z; the pad lanes must hold
     # zeros (not uninitialized VMEM) so the MXU sees 0 * W's zero rows
@@ -440,7 +470,7 @@ def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
 
     @pl.when(active)
     def _():
-        _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
         _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
         for gi, g in enumerate(plan.groups):
             res = jnp.dot(
@@ -468,7 +498,6 @@ def _bwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
         dW_refs = rest[nG + 3 : nG + 3 + nG]
         x_al, w_al = rest[nG + 3 + nG], None
         scr = rest[nG + 4 + nG :]
-        dwa_scr = None
     else:
         x_ref, sh_ref, w_ref = refs[:3]
         rest = refs[3:]
@@ -478,14 +507,11 @@ def _bwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
         dW_refs = rest[nG + 4 : nG + 4 + nG]
         x_al, w_al = rest[nG + 4 + nG], rest[nG + 5 + nG]
         scr = rest[nG + 6 + nG :]
-        dwa_scr = scr[3 * nG]
     z_scr = scr[:nG]
     dz_scr = scr[nG : 2 * nG]
     g_scr = scr[2 * nG : 3 * nG]
 
     i = pl.program_id(0)
-    n = pl.num_programs(0)
-    wrow = slice(None) if not plan.shared_weights else slice(0, 1)
 
     @pl.when(i == 0)
     def _():
@@ -511,16 +537,14 @@ def _bwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
     def _():
         _bwd_body(
             plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
-            dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, dwa_scr,
-            i, n, wrow,
+            dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i,
         )
 
 
 def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
-              dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, dwa_scr,
-              i, n, wrow):
+              dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i):
     nG = len(plan.groups)
-    _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
+    _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
     cols = sh_ref[:]
     # recompute z (remat: cheaper than a 3136-wide HBM round trip)
     _fma_z(plan, cols, x_al, w_al, z_scr, T)
@@ -559,7 +583,6 @@ def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
     #   dsh[j] += c * sum_lanes x[i] * w[p] * dz[k]
     dx_acc, dw_acc, dsh_acc = {}, {}, {}
     colcache, dzcache = {}, {}
-    shared = plan.shared_weights
     for t, (gi, k, fc) in plan._terms:
         xs, mul, p = plan.x_slots[t.a_off]
         ws, _, _ = plan.w_slots[t.b_off]
@@ -592,7 +615,7 @@ def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
                     dsh_acc.get((t.col_off, p, mul), 0.0) + t.coeff * (xv * dz)
                 )
             continue
-        wv = w_al[:, ws : ws + lanes] if shared else w_al[:r, ws : ws + lanes]
+        wv = w_al[:r, ws : ws + lanes]
         # factor c*col*dz once; dx and dw are one FMA each off it
         cdz = (t.coeff * cp) * dz
         dx_acc[xs] = dx_acc.get(xs, 0.0) + cdz * wv
@@ -628,47 +651,21 @@ def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
                 ).astype(dsh_ref.dtype)
     if plan.fold_shared:
         return  # dw comes from the XLA-side W row-scaling
-    if not plan.shared_weights:
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-        for off, (slot, mul, p) in plan.w_slots.items():
-            if slot not in dw_acc:
-                continue
-            acc = dw_acc[slot]
-            if p == 1:
-                dw_ref[:, off : off + mul] = acc[:, :mul].astype(dw_ref.dtype)
-            else:
-                r = T // p
-                for g in range(p):
-                    dw_ref[g * r : (g + 1) * r, off : off + mul] = acc[
-                        :, g * mul : (g + 1) * mul
-                    ].astype(dw_ref.dtype)
-    else:
-        # accumulate the shared-weight cotangent across rows, lane groups,
-        # and grid cells
-        @pl.when(i == 0)
-        def _():
-            dwa_scr[:] = jnp.zeros_like(dwa_scr)
-
-        for slot, acc in dw_acc.items():
-            _, mul, p = next(
-                v for v in plan.w_slots.values() if v[0] == slot
-            )
-            rowsum = jnp.sum(acc, axis=0, keepdims=True)
-            if p == 1:
-                dwa_scr[:, slot : slot + LANE] += rowsum.astype(dwa_scr.dtype)
-            else:
-                total = rowsum[:, 0:mul]
-                for g in range(1, p):
-                    total = total + rowsum[:, g * mul : (g + 1) * mul]
-                dwa_scr[:, slot : slot + mul] += total.astype(dwa_scr.dtype)
-
-        @pl.when(i == n - 1)
-        def _():
-            dw_ref[:] = jnp.zeros_like(dw_ref)
-            for off, (slot, mul, p) in plan.w_slots.items():
-                dw_ref[:, off : off + mul] = dwa_scr[:, slot : slot + mul].astype(
-                    dw_ref.dtype
-                )
+    # shared weights always take the folded path (fold_shared ==
+    # shared_weights in __init__), so dw here is per-edge
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+    for off, (slot, mul, p) in plan.w_slots.items():
+        if slot not in dw_acc:
+            continue
+        acc = dw_acc[slot]
+        if p == 1:
+            dw_ref[:, off : off + mul] = acc[:, :mul].astype(dw_ref.dtype)
+        else:
+            r = T // p
+            for g in range(p):
+                dw_ref[g * r : (g + 1) * r, off : off + mul] = acc[
+                    :, g * mul : (g + 1) * mul
+                ].astype(dw_ref.dtype)
 
 
 # ------------------------------------------------------------ callable op
@@ -697,8 +694,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
     nG = len(plan.groups)
 
     def w_spec(E):
-        if plan.shared_weights:
-            return _shared_spec((1, plan.d_w))
+        # shared weights always ride the folded path; here w is per-edge
         return pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
 
     def fwd_call(x, sh, w, Ws, n):
@@ -716,9 +712,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                 pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
                 w_spec(E),
             ] + [_shared_spec(W.shape) for W in Ws]
-            w_scratch = [
-                pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype)
-            ]
+            w_scratch = [pltpu.VMEM((T, plan.d_w_al), x.dtype)]
             operands = (x, sh, w) + tuple(Ws)
         return pl.pallas_call(
             functools.partial(_fwd_kernel, plan, T),
@@ -782,12 +776,8 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                 ),
                 interpret=interpret,
             )(n, x, sh, *Ws, g)
-        dw_shape = (1, plan.d_w) if plan.shared_weights else (E, plan.d_w)
-        dw_out_spec = (
-            _shared_spec((1, plan.d_w))
-            if plan.shared_weights
-            else pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
-        )
+        dw_shape = (E, plan.d_w)
+        dw_out_spec = pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
         return pl.pallas_call(
             functools.partial(_bwd_kernel, plan, T),
             out_shape=(
@@ -811,10 +801,9 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
                 + dW_specs,
                 scratch_shapes=[
                     pltpu.VMEM((T, plan.d_x_al), x.dtype),
-                    pltpu.VMEM((1 if plan.shared_weights else T, plan.d_w_al), x.dtype),
+                    pltpu.VMEM((T, plan.d_w_al), x.dtype),
                 ]
-                + z_scratch + dz_scratch + g_scratch
-                + [pltpu.VMEM((1, plan.d_w_al), jnp.float32)],
+                + z_scratch + dz_scratch + g_scratch,
             ),
             interpret=interpret,
         )(n, x, sh, w, *Ws, g)
@@ -870,13 +859,10 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
         """Pad edges to the tile, run, unpad."""
         E = x.shape[0]
         pad = (-E) % T
-        if plan.shared_weights and w.ndim == 1:
-            w = w[None, :]
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0)))
             sh = jnp.pad(sh, ((0, pad), (0, 0)))
-            if not plan.shared_weights:
-                w = jnp.pad(w, ((0, pad), (0, 0)))
+            w = jnp.pad(w, ((0, pad), (0, 0)))
         n = _n_scalar(n_edges, E)
         out = fused(n, x, sh, w, *Ws)
         return out[:E] if pad else out

@@ -76,6 +76,7 @@ class GraphAttentionTransformerOC20(nn.Module):
     avg_degree: float = _AVG_DEGREE
     attn_type: str = "mlp"
     higher_order_grads: bool = False  # IS2RE never differentiates through pos
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; graph/SH/RBF stay fp32
     remat: bool = False
 
     @nn.compact
@@ -100,23 +101,29 @@ class GraphAttentionTransformerOC20(nn.Module):
             edge_vec, edge_len = edge_vectors(pos, edges)
         edge_sh = spherical_harmonics_for_irreps(Irreps(self.irreps_sh), edge_vec)
 
+        # geometry (PBC graph, SH, RBF) in the position dtype (fp32); network
+        # features optionally run in a lower compute dtype (bf16), matching
+        # the reference's AMP training (engine.py:58-81)
+        feat_dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else pos.dtype
+        edge_sh = edge_sh.astype(feat_dtype)
+
         emb_irreps = Irreps(self.irreps_node_embedding)
         atom_emb, _ = NodeEmbedding(emb_irreps, self.max_atom_type, name="atom_embed")(
-            graphs.species, dtype=pos.dtype
+            graphs.species, dtype=feat_dtype
         )
         tag_emb, _ = NodeEmbedding(emb_irreps, self.num_tags, name="tag_embed")(
-            graphs.extras["tags"], dtype=pos.dtype
+            graphs.extras["tags"], dtype=feat_dtype
         )
         edge_scalars = GaussianRadialBasis(
             num_basis=self.number_of_basis, cutoff=self.max_radius, name="rbf"
-        )(edge_len)
+        )(edge_len).astype(feat_dtype)
         if self.use_atom_edge_attr:
             ae = Irreps(self.irreps_atom_edge_attr)
             src_attr, _ = NodeEmbedding(ae, self.max_atom_type, name="edge_src_embed")(
-                graphs.species, dtype=pos.dtype
+                graphs.species, dtype=feat_dtype
             )
             dst_attr, _ = NodeEmbedding(ae, self.max_atom_type, name="edge_dst_embed")(
-                graphs.species, dtype=pos.dtype
+                graphs.species, dtype=feat_dtype
             )
             edge_scalars = jnp.concatenate(
                 [src_attr[edges.src], dst_attr[edges.dst], edge_scalars], axis=-1
@@ -135,9 +142,9 @@ class GraphAttentionTransformerOC20(nn.Module):
         if self.use_node_attr:
             node_attr, _ = NodeEmbedding(
                 Irreps(self.irreps_node_attr), self.max_atom_type, name="attr_embed"
-            )(graphs.species, dtype=pos.dtype)
+            )(graphs.species, dtype=feat_dtype)
         else:
-            node_attr = jnp.ones((num_nodes, 1), pos.dtype)
+            node_attr = jnp.ones((num_nodes, 1), feat_dtype)
 
         block_cls = TransBlock
         if self.remat:
@@ -205,7 +212,7 @@ class GraphAttentionTransformerOC20(nn.Module):
                 name="attn_head",
             )(outputs, node_attr, edges, edge_sh, edge_scalars,
               deterministic=deterministic)
-            out = out + skip
+            out = (out + skip).astype(pos.dtype)  # accumulate readout in fp32
             if self.use_auxiliary_task:
                 energy_nodes = out[:, 0:1]
                 aux = out[:, 1:4]
@@ -223,6 +230,7 @@ class GraphAttentionTransformerOC20(nn.Module):
         x = IrrepsLinear(feat_irreps, feat_scalars, name="head_lin1")(outputs)
         x = Activation(feat_scalars, ["silu"])(x)
         x = IrrepsLinear(feat_scalars, Irreps("1x0e"), name="head_lin2")(x)
+        x = x.astype(pos.dtype)  # accumulate the readout in fp32
         energy = scaled_scatter_sum(
             x, batch, num_graphs, self.avg_num_nodes, mask=node_mask
         , sorted=True)[:, 0]
@@ -245,7 +253,7 @@ class GraphAttentionTransformerOC20(nn.Module):
                 name="auxiliary_head",
             )(node_features, node_attr, edges, edge_sh, edge_scalars,
               deterministic=deterministic)
-            return energy, aux
+            return energy, aux.astype(pos.dtype)
         return energy
 
 

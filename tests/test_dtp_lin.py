@@ -23,24 +23,24 @@ ALPHA_OUT = Irreps("6x0e")
 E = 256  # two grid cells at tile 128: exercises the dW grid accumulation
 
 
-def _head_ws(hirr, seed):
+def _head_ws(hirr, seed, tp=TP):
     out = []
     keys = jax.random.split(jax.random.PRNGKey(seed), max(len(hirr), 1))
     for i, (mul_out, ir_out) in enumerate(hirr):
-        fan = sum(m for m, ir in TP.irreps_out if ir == ir_out)
+        fan = sum(m for m, ir in tp.irreps_out if ir == ir_out)
         out.append(
             jax.random.normal(keys[i], (fan, mul_out), jnp.float32) if fan else None
         )
     return out
 
 
-def _ref_lin(z, hirr, head_ws):
-    slices = TP.irreps_out.slices()
+def _ref_lin(z, hirr, head_ws, tp=TP):
+    slices = tp.irreps_out.slices()
     pieces = []
     for oi, (mul_out, ir_out) in enumerate(hirr):
         blocks = [
             z[..., slices[ii]].reshape(z.shape[:-1] + (ir.dim, m))
-            for ii, (m, ir) in enumerate(TP.irreps_out)
+            for ii, (m, ir) in enumerate(tp.irreps_out)
             if ir == ir_out
         ]
         if blocks:
@@ -198,21 +198,71 @@ def test_fused_dtp_lin_tile_skipping():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_fused_dtp_lin_rejects_large_mul():
-    """mul > 128 (OC20's 256x0e) overflows the 128-lane slot layout; the plan
-    must refuse so model builders fall back to the composed kernels."""
+@pytest.mark.parametrize(
+    "shared,heads",
+    [
+        (False, ["256x0e+128x1e"]),
+        (False, ["256x0e+128x1e", "12x0e"]),
+        (True, ["256x0e+128x1e"]),
+    ],
+    ids=["single", "two-head", "shared-w"],
+)
+def test_fused_dtp_lin_mul256(shared, heads):
+    """mul > 128 blocks (OC20's 256x0e flagship,
+    /root/reference/nets/graph_attention_transformer_oc20.py:84) split across
+    multiple 128-lane sub-slots: value + all first-order grads must match the
+    unfused composition."""
     big = Irreps("256x0e+128x1e")
     tp_big = depthwise_tp(big, Irreps("1x0e+1x1e"), big)
-    with pytest.raises(ValueError):
-        DTPLinPlan(tp_big, [big])
+    heads = [Irreps(h) for h in heads]
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(ks[0], (E, big.dim), jnp.float32)
+    sh = jax.random.normal(ks[1], (E, 4), jnp.float32)
+    w = jax.random.normal(ks[2], (E, tp_big.weight_numel), jnp.float32)
+    plan = DTPLinPlan(tp_big, heads, fold_rescale=True, shared_weights=shared)
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True)
+    hws = [_head_ws(h, 20 + i, tp_big) for i, h in enumerate(heads)]
+    ww = w[0] if shared else w
+
+    def f_fused(x, sh, ww, hws):
+        return plan.split_output(fused(x, sh, ww, plan.pack_weights(hws)))
+
+    def f_ref(x, sh, ww, hws):
+        z = tp_big.apply(
+            x, sh, ww if not shared else ww[None, :], scale_weights=True
+        )
+        return [_ref_lin(z, h, hw, tp_big) for h, hw in zip(heads, hws)]
+
+    for a, b in zip(f_fused(x, sh, ww, hws), f_ref(x, sh, ww, hws)):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6 * scale
+        )
+
+    def loss(f):
+        return lambda *args: sum(jnp.sum(o**2) for o in f(*args))
+
+    gf = jax.grad(loss(f_fused), argnums=(0, 1, 2, 3))(x, sh, ww, hws)
+    gr = jax.grad(loss(f_ref), argnums=(0, 1, 2, 3))(x, sh, ww, hws)
+    for name, a, b in zip(("dx", "dsh", "dw", "dW"), gf, gr):
+        for u, v in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), atol=3e-4 * scale, err_msg=name
+            )
+
+
+def test_fused_plan_accepts_large_mul():
+    """_make_fused_plan no longer rejects OC20's mul=256: the fused path is
+    available (round-2 fallback pin removed)."""
+    big = Irreps("256x0e+128x1e")
+    tp_big = depthwise_tp(big, Irreps("1x0e+1x1e"), big)
 
     from equiformer_tpu.nn.tp_modules import _make_fused_plan
 
-    # force the pallas-enabled path so the ValueError fallback is the thing
-    # under test (CPU default would short-circuit to None anyway)
     os.environ["EQUIFORMER_TPU_PALLAS"] = "1"
     try:
         fplan, fused = _make_fused_plan(tp_big, [big], False, False)
     finally:
         del os.environ["EQUIFORMER_TPU_PALLAS"]
-    assert fplan is None and fused is None
+    assert fplan is not None and fused is not None

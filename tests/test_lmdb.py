@@ -43,6 +43,50 @@ def test_lmdb_empty(tmp_path):
         assert list(r.items()) == []
 
 
+@pytest.mark.parametrize("name", ["lmdb_golden_8k", "lmdb_golden_4k"])
+def test_lmdb_golden_fixture(tmp_path, name):
+    """Golden-file validation (VERDICT r2 item 4): parse committed LMDB bytes
+    the repo's LmdbWriter did not produce.  The fixtures
+    (tests/fixtures/*.hex, generated once by tools/gen_lmdb_fixture.py from
+    the published lmdb.h/mdb.c layout with independent assembly code) use
+    layouts liblmdb produces in real incremental use but LmdbWriter never
+    emits: physically out-of-order pages, non-monotone in-page heap placement,
+    a live meta with the *higher* txnid next to a stale meta pointing at an
+    old root, an overflow chain between leaves, and an 8192-byte page size."""
+    import os
+
+    fix_dir = os.path.join(os.path.dirname(__file__), "fixtures")
+    blob = bytes.fromhex(
+        "".join(open(os.path.join(fix_dir, name + ".hex")).read().split())
+    )
+    import tools.gen_lmdb_fixture as gen
+
+    expected = (
+        gen.build_fixture_main(8192)[1] if name.endswith("8k")
+        else gen.build_fixture_4k()[1]
+    )
+    # pin: the committed bytes are what the generator describes (regen drift
+    # would silently weaken the fixture)
+    regen = (
+        gen.build_fixture_main(8192)[0] if name.endswith("8k")
+        else gen.build_fixture_4k()[0]
+    )
+    assert blob == regen, "committed fixture out of sync with generator"
+
+    path = str(tmp_path / (name + ".lmdb"))
+    with open(path, "wb") as f:
+        f.write(blob)
+    with LmdbReader(path) as r:
+        assert r.psize == (8192 if name.endswith("8k") else 4096)
+        assert r.entries == len(expected)
+        got = dict(r.items())
+        assert got == expected
+        assert [k for k, _ in r.items()] == sorted(expected)
+        for k, v in expected.items():
+            assert r.get(k) == v
+        assert r.get(b"zz-absent") is None
+
+
 def test_oc20_lmdb_dataset_roundtrip(tmp_path):
     data = oc20_like_dataset(12, seed=5, min_atoms=10, max_atoms=16)
     path = str(tmp_path / "is2re.lmdb")
