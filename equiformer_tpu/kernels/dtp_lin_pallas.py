@@ -18,11 +18,17 @@ flagship) never leaves VMEM:
      ``[fan_pad, cols]`` applies every linear head reading z (SeparableFCTP's
      ``lin`` and, in the nonlinear-message path, ``sep_alpha``) in one pass.
 
-The backward is a single fused kernel with the same structure: z is
-*recomputed* in VMEM (cheaper than a 3136-wide HBM round trip), ``dz`` comes
+The backward is a single fused kernel with the same structure: ``dz`` comes
 off the MXU as ``g @ W^T``, ``dW = z^T @ g`` accumulates across the edge grid
 in an fp32 output block, and dx/dw/dsh are the trilinear transposes of the
-FMA phase.  First-order AD only (custom_vjp); the arbitrary-order
+FMA phase.  z is either *saved* from the forward (``save_z=True``, the
+default: the forward emits each group's z block as an extra output and the
+backward reads it back — round-2 attribution showed the backward was
+align/recompute-bound, and the HBM round trip is cheaper on v5e) or
+*recomputed* in VMEM (``save_z=False``, lower memory).  With saved z the
+folded shared-weight backward with ``needs_dsh=False`` needs no x operand at
+all — no align phase, no FMA phase, just the two MXU dots plus the dx
+transpose.  First-order AD only (custom_vjp); the arbitrary-order
 primitive-composed path in dtp_pallas.py remains for force models.
 """
 
@@ -353,21 +359,25 @@ def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, T):
 
     Packed slots (p > 1) lay p contiguous row-groups of T/p edges side by
     side on the lanes, so the FMA phase runs with all 128 lanes busy; p == 1
-    slots keep the plain layout with zeroed pad lanes."""
+    slots keep the plain layout with zeroed pad lanes.  ``x_ref is None``
+    (save_z backward that still needs w) skips the x phase."""
     # pad lanes only exist when a slot is not fully packed (p*mul < 128);
     # zero just those slots once instead of the whole scratch every tile
-    for off, (slot, mul, p) in plan.x_slots.items():
-        if p * mul < LANE:
-            x_al[:, slot : slot + LANE] = jnp.zeros_like(x_al[:, slot : slot + LANE])
-    for off, (slot, mul, p) in plan.x_slots.items():
-        if p == 1:
-            x_al[:, slot : slot + mul] = x_ref[:, off : off + mul]
-        else:
-            r = T // p
-            for g in range(p):
-                x_al[:r, slot + g * mul : slot + (g + 1) * mul] = x_ref[
-                    g * r : (g + 1) * r, off : off + mul
-                ]
+    if x_ref is not None:
+        for off, (slot, mul, p) in plan.x_slots.items():
+            if p * mul < LANE:
+                x_al[:, slot : slot + LANE] = jnp.zeros_like(
+                    x_al[:, slot : slot + LANE]
+                )
+        for off, (slot, mul, p) in plan.x_slots.items():
+            if p == 1:
+                x_al[:, slot : slot + mul] = x_ref[:, off : off + mul]
+            else:
+                r = T // p
+                for g in range(p):
+                    x_al[:r, slot + g * mul : slot + (g + 1) * mul] = x_ref[
+                        g * r : (g + 1) * r, off : off + mul
+                    ]
     if w_ref is None:  # fold_shared: w lives in the packed linear weights
         return
     for off, (slot, mul, p) in plan.w_slots.items():
@@ -439,7 +449,7 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
                 ] = val[:, g * mul : (g + 1) * mul]
 
 
-def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
+def _fwd_kernel(plan: DTPLinPlan, T, save_z, n_ref, *refs):
     nG = len(plan.groups)
     if plan.fold_shared:
         x_ref, sh_ref, w_ref = refs[0], refs[1], None
@@ -449,20 +459,28 @@ def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
         rest = refs[3:]
     W_refs = rest[:nG]
     out_ref = rest[nG]
-    x_al = rest[nG + 1]
+    rest = rest[nG + 1 :]
+    if save_z:
+        # z emitted as per-tile output blocks (read back by the backward)
+        z_scr = rest[:nG]
+        rest = rest[nG:]
+    x_al = rest[0]
     if plan.fold_shared:
         w_al = None
-        z_scr = rest[nG + 2 :]
+        rest = rest[1:]
     else:
-        w_al = rest[nG + 2]
-        z_scr = rest[nG + 3 :]
+        w_al = rest[1]
+        rest = rest[2:]
+    if not save_z:
+        z_scr = rest
 
-    # packed slots write only fc:fc+mul lanes of z; the pad lanes must hold
-    # zeros (not uninitialized VMEM) so the MXU sees 0 * W's zero rows
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for zs in z_scr:
-            zs[:] = jnp.zeros_like(zs)
+        # packed slots write only fc:fc+mul lanes of z; the pad lanes must
+        # hold zeros (not uninitialized VMEM) so the MXU sees 0 * W's zero
+        # rows; the persistent scratch only needs this once
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for zs in z_scr:
+                zs[:] = jnp.zeros_like(zs)
 
     # tiles past the real edge count (padding tail of the sorted edge list)
     # skip all compute and emit zeros
@@ -470,6 +488,12 @@ def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
 
     @pl.when(active)
     def _():
+        if save_z:
+            # output blocks are fresh VMEM every tile: zero the pad lanes the
+            # packed FMA writes do not cover (skipped tiles stay garbage — the
+            # backward never reads them)
+            for zs in z_scr:
+                zs[:] = jnp.zeros_like(zs)
         _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
         _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
         for gi, g in enumerate(plan.groups):
@@ -486,37 +510,44 @@ def _fwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
         out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _bwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
+def _bwd_needs_x(plan: DTPLinPlan, save_z) -> bool:
+    """Whether the backward reads x: always when z is recomputed; with saved
+    z only for the per-edge-w dw transpose or the dsh transpose."""
+    return (not save_z) or (not plan.fold_shared) or plan.needs_dsh
+
+
+def _bwd_kernel(plan: DTPLinPlan, T, save_z, n_ref, *refs):
     nG = len(plan.groups)
-    if plan.fold_shared:
-        x_ref, sh_ref, w_ref = refs[0], refs[1], None
-        rest = refs[2:]
-        W_refs = rest[:nG]
-        g_ref = rest[nG]
-        dx_ref, dsh_ref = rest[nG + 1 : nG + 3]
-        dw_ref = None
-        dW_refs = rest[nG + 3 : nG + 3 + nG]
-        x_al, w_al = rest[nG + 3 + nG], None
-        scr = rest[nG + 4 + nG :]
+    has_x = _bwd_needs_x(plan, save_z)
+    it = iter(refs)
+    x_ref = next(it) if has_x else None
+    sh_ref = next(it)
+    w_ref = None if plan.fold_shared else next(it)
+    W_refs = [next(it) for _ in range(nG)]
+    g_ref = next(it)
+    z_in = [next(it) for _ in range(nG)] if save_z else None
+    dx_ref = next(it)
+    dsh_ref = next(it)
+    dw_ref = None if plan.fold_shared else next(it)
+    dW_refs = [next(it) for _ in range(nG)]
+    x_al = next(it) if has_x else None
+    w_al = None if plan.fold_shared else next(it)
+    if save_z:
+        z_scr = z_in  # input blocks double as the MXU operand
     else:
-        x_ref, sh_ref, w_ref = refs[:3]
-        rest = refs[3:]
-        W_refs = rest[:nG]
-        g_ref = rest[nG]
-        dx_ref, dsh_ref, dw_ref = rest[nG + 1 : nG + 4]
-        dW_refs = rest[nG + 4 : nG + 4 + nG]
-        x_al, w_al = rest[nG + 4 + nG], rest[nG + 5 + nG]
-        scr = rest[nG + 6 + nG :]
-    z_scr = scr[:nG]
-    dz_scr = scr[nG : 2 * nG]
-    g_scr = scr[2 * nG : 3 * nG]
+        z_scr = [next(it) for _ in range(nG)]
+    dz_scr = [next(it) for _ in range(nG)]
+    g_scr = [next(it) for _ in range(nG)]
+    assert next(it, None) is None
 
     i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        for zs in z_scr:
-            zs[:] = jnp.zeros_like(zs)
+    if not save_z:
+
+        @pl.when(i == 0)
+        def _():
+            for zs in z_scr:
+                zs[:] = jnp.zeros_like(zs)
 
     # tiles past the real edge count: zero cotangent blocks, skip compute
     active = i * T < n_ref[0]
@@ -536,18 +567,19 @@ def _bwd_kernel(plan: DTPLinPlan, T, n_ref, *refs):
     @pl.when(active)
     def _():
         _bwd_body(
-            plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
-            dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i,
+            plan, T, save_z, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref,
+            dsh_ref, dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i,
         )
 
 
-def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
-              dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i):
+def _bwd_body(plan, T, save_z, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref,
+              dsh_ref, dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i):
     nG = len(plan.groups)
     _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
     cols = sh_ref[:]
-    # recompute z (remat: cheaper than a 3136-wide HBM round trip)
-    _fma_z(plan, cols, x_al, w_al, z_scr, T)
+    if not save_z:
+        # recompute z in VMEM (low-memory variant)
+        _fma_z(plan, cols, x_al, w_al, z_scr, T)
     # MXU: dW += z^T g ; dz = g W^T
     for gi, g in enumerate(plan.groups):
         gm = g_scr[gi]
@@ -604,7 +636,7 @@ def _bwd_body(plan, T, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref, dsh_ref,
         dz = dzcache[zkey]
         cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
         lanes = LANE if p == 1 else p * mul
-        xv = x_al[:r, xs : xs + lanes]
+        xv = None if x_al is None else x_al[:r, xs : xs + lanes]
         if plan.fold_shared:
             # w is folded into W, so dz already carries it: dx = c*col*dz,
             # and dw flows through the XLA-side row-scaling of W
@@ -683,19 +715,46 @@ def _n_scalar(n_edges, E):
     return jnp.asarray(n_edges, jnp.int32).reshape((1,))
 
 
-def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bool] = None):
+def _save_z_default() -> bool:
+    import os
+
+    return os.environ.get("EQUIFORMER_TPU_SAVE_Z", "1") not in ("0", "false")
+
+
+def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
+                       interpret: Optional[bool] = None,
+                       save_z: Optional[bool] = None):
     """Build the custom-vjp fused op for a plan.  Signature:
     ``fused(x, sh, w, *Ws) -> out_flat`` with ``Ws`` from plan.pack_weights.
     x: [E, d_x]; sh: [E, d_sh]; w: [E, d_w] ([1, d_w] if shared_weights).
+
+    ``save_z`` (default: EQUIFORMER_TPU_SAVE_Z, on): the forward emits the
+    per-group z blocks as extra outputs and the backward reads them instead
+    of recomputing — drops the align+FMA phases from the folded-shared
+    backward and the FMA recompute from the per-edge-w backward, at the cost
+    of a [E, ~d_z] bf16 residual per call.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if save_z is None:
+        save_z = _save_z_default()
     T = tile
     nG = len(plan.groups)
 
     def w_spec(E):
         # shared weights always ride the folded path; here w is per-edge
         return pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
+
+    z_specs = tuple(
+        pl.BlockSpec((g.ir.dim * T, g.fan_pad), lambda i, *_: (i, 0))
+        for g in plan.groups
+    )
+
+    def z_shapes(E, dtype):
+        return tuple(
+            jax.ShapeDtypeStruct((g.ir.dim * E, g.fan_pad), dtype)
+            for g in plan.groups
+        )
 
     def fwd_call(x, sh, w, Ws, n):
         E = x.shape[0]
@@ -714,112 +773,120 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
             ] + [_shared_spec(W.shape) for W in Ws]
             w_scratch = [pltpu.VMEM((T, plan.d_w_al), x.dtype)]
             operands = (x, sh, w) + tuple(Ws)
+        out_shape = jax.ShapeDtypeStruct((E, plan.d_out), x.dtype)
+        out_specs = pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0))
+        if save_z:
+            out_shape = (out_shape,) + z_shapes(E, x.dtype)
+            out_specs = (out_specs,) + z_specs
+            z_scratch = []
+        else:
+            z_scratch = [
+                pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
+                for g in plan.groups
+            ]
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, plan, T),
-            out_shape=jax.ShapeDtypeStruct((E, plan.d_out), x.dtype),
+            functools.partial(_fwd_kernel, plan, T, save_z),
+            out_shape=out_shape,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(E // T,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)),
+                out_specs=out_specs,
                 scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
-                + w_scratch
-                + [
-                    pltpu.VMEM((g.ir.dim * T, g.fan_pad), x.dtype)
-                    for g in plan.groups
-                ],
+                + w_scratch + z_scratch,
             ),
             interpret=interpret,
         )(n, *operands)
 
-    def bwd_call(x, sh, w, Ws, g, n):
-        E = x.shape[0]
-        z_scratch = [
-            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), x.dtype) for gr in plan.groups
+    def bwd_call(x, sh, w, Ws, g, zs, n):
+        E = g.shape[0]
+        dtype = g.dtype
+        has_x = _bwd_needs_x(plan, save_z)
+        z_scratch = [] if save_z else [
+            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
         ]
         dz_scratch = [
-            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), x.dtype) for gr in plan.groups
+            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
         ]
         g_scratch = [
-            pltpu.VMEM((gr.ir.dim * T, gr.cols), x.dtype) for gr in plan.groups
+            pltpu.VMEM((gr.ir.dim * T, gr.cols), dtype) for gr in plan.groups
         ]
         dW_shapes = tuple(
             jax.ShapeDtypeStruct((gr.fan_pad, gr.cols), jnp.float32)
             for gr in plan.groups
         )
         dW_specs = tuple(_shared_spec((gr.fan_pad, gr.cols)) for gr in plan.groups)
-        edge_specs = [
+
+        in_specs, operands = [], []
+        if has_x:
+            in_specs.append(pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)))
+            operands.append(x)
+        in_specs.append(pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)))
+        operands.append(sh)
+        if not plan.fold_shared:
+            in_specs.append(w_spec(E))
+            operands.append(w)
+        in_specs += [_shared_spec(W.shape) for W in Ws]
+        operands += list(Ws)
+        in_specs.append(pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)))
+        operands.append(g)
+        if save_z:
+            in_specs += list(z_specs)
+            operands += list(zs)
+
+        out_shape = [
+            jax.ShapeDtypeStruct((E, plan.d_x), dtype),
+            jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
+        ]
+        out_specs = [
             pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
             pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
         ]
-        if plan.fold_shared:
-            return pl.pallas_call(
-                functools.partial(_bwd_kernel, plan, T),
-                out_shape=(
-                    jax.ShapeDtypeStruct((E, plan.d_x), x.dtype),
-                    jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
-                )
-                + dW_shapes,
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=1,
-                    grid=(E // T,),
-                    in_specs=edge_specs
-                    + [_shared_spec(W.shape) for W in Ws]
-                    + [pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0))],
-                    out_specs=(
-                        pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
-                        pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
-                    )
-                    + dW_specs,
-                    scratch_shapes=[pltpu.VMEM((T, plan.d_x_al), x.dtype)]
-                    + z_scratch + dz_scratch + g_scratch,
-                ),
-                interpret=interpret,
-            )(n, x, sh, *Ws, g)
-        dw_shape = (E, plan.d_w)
-        dw_out_spec = pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
+        if not plan.fold_shared:
+            out_shape.append(jax.ShapeDtypeStruct((E, plan.d_w), w.dtype))
+            out_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
+        out_shape += list(dW_shapes)
+        out_specs += list(dW_specs)
+
+        scratch = []
+        if has_x:
+            scratch.append(pltpu.VMEM((T, plan.d_x_al), dtype))
+        if not plan.fold_shared:
+            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
+        scratch += z_scratch + dz_scratch + g_scratch
+
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, plan, T),
-            out_shape=(
-                jax.ShapeDtypeStruct((E, plan.d_x), x.dtype),
-                jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
-                jax.ShapeDtypeStruct(dw_shape, w.dtype),
-            )
-            + dW_shapes,
+            functools.partial(_bwd_kernel, plan, T, save_z),
+            out_shape=tuple(out_shape),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(E // T,),
-                in_specs=edge_specs
-                + [w_spec(E)]
-                + [_shared_spec(W.shape) for W in Ws]
-                + [pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0))],
-                out_specs=(
-                    pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
-                    pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
-                    dw_out_spec,
-                )
-                + dW_specs,
-                scratch_shapes=[
-                    pltpu.VMEM((T, plan.d_x_al), x.dtype),
-                    pltpu.VMEM((T, plan.d_w_al), x.dtype),
-                ]
-                + z_scratch + dz_scratch + g_scratch,
+                in_specs=in_specs,
+                out_specs=tuple(out_specs),
+                scratch_shapes=scratch,
             ),
             interpret=interpret,
-        )(n, x, sh, w, *Ws, g)
+        )(n, *operands)
 
     if plan.fold_shared:
 
         @jax.custom_vjp
         def fused_nw(n, x, sh, *Ws):
-            return fwd_call(x, sh, None, Ws, n)
+            res = fwd_call(x, sh, None, Ws, n)
+            return res[0] if save_z else res
 
         def fnw_fwd(n, x, sh, *Ws):
-            return fwd_call(x, sh, None, Ws, n), (n, x, sh, Ws)
+            res = fwd_call(x, sh, None, Ws, n)
+            if save_z:
+                # x is dropped from the residuals when the backward never
+                # reads it (needs_dsh=False): frees it for XLA
+                keep_x = _bwd_needs_x(plan, save_z)
+                return res[0], (n, x if keep_x else None, sh, Ws, res[1:])
+            return res, (n, x, sh, Ws, None)
 
         def fnw_bwd(res, g):
-            n, x, sh, Ws = res
-            outs = bwd_call(x, sh, None, Ws, g, n)
+            n, x, sh, Ws, zs = res
+            outs = bwd_call(x, sh, None, Ws, g, zs, n)
             dWs = tuple(d.astype(W.dtype) for d, W in zip(outs[2:], Ws))
             return (None, outs[0], outs[1]) + dWs
 
@@ -841,14 +908,18 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128, interpret: Optional[bo
 
     @jax.custom_vjp
     def fused(n, x, sh, w, *Ws):
-        return fwd_call(x, sh, w, Ws, n)
+        res = fwd_call(x, sh, w, Ws, n)
+        return res[0] if save_z else res
 
     def f_fwd(n, x, sh, w, *Ws):
-        return fwd_call(x, sh, w, Ws, n), (n, x, sh, w, Ws)
+        res = fwd_call(x, sh, w, Ws, n)
+        if save_z:
+            return res[0], (n, x, sh, w, Ws, res[1:])
+        return res, (n, x, sh, w, Ws, None)
 
     def f_bwd(res, g):
-        n, x, sh, w, Ws = res
-        outs = bwd_call(x, sh, w, Ws, g, n)
+        n, x, sh, w, Ws, zs = res
+        outs = bwd_call(x, sh, w, Ws, g, zs, n)
         dx, dsh, dw = outs[0], outs[1], outs[2]
         dWs = tuple(d.astype(W.dtype) for d, W in zip(outs[3:], Ws))
         return (None, dx, dsh, dw) + dWs

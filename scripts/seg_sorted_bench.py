@@ -59,6 +59,25 @@ def main():
         t2 = timeit(g, v)
         print(f"segsum {name}: fwd {t1:6.2f} ms   f+b {t2:6.2f} ms")
 
+    from equiformer_tpu.kernels.segment_csr_pallas import csr_segment_sum
+
+    for K in (128, 256, 512):
+        f = jax.jit(lambda d: csr_segment_sum(d, dst, N, mask=mask, K=K))
+        t1 = timeit(f, v)
+        g = jax.jit(jax.grad(lambda d: jnp.sum(
+            csr_segment_sum(d, dst, N, mask=mask, K=K).astype(jnp.float32) ** 2)))
+        t2 = timeit(g, v)
+        print(f"csr   K={K:4d}: fwd {t1:6.2f} ms   f+b {t2:6.2f} ms")
+
+    # the attention-scatter width (value irreps per head x heads ~ 256) and
+    # the narrow softmax-denominator width for completeness
+    for C in (256, 64):
+        vc = jax.random.normal(key, (E, C), jnp.bfloat16)
+        f1 = jax.jit(lambda d: segment_sum(d, dst, N, mask=mask, sorted=True))
+        f2 = jax.jit(lambda d: csr_segment_sum(d, dst, N, mask=mask, K=256))
+        print(f"C={C:4d}: xla-sorted fwd {timeit(f1, vc):6.2f} ms   "
+              f"csr fwd {timeit(f2, vc):6.2f} ms")
+
 
 if __name__ == "__main__":
     main()

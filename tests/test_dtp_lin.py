@@ -60,6 +60,8 @@ def _data():
     return x, sh, w
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("save_z", [False, True], ids=["remat-z", "save-z"])
 @pytest.mark.parametrize(
     "shared,heads",
     [
@@ -69,10 +71,10 @@ def _data():
     ],
     ids=["single", "two-head", "shared-w"],
 )
-def test_fused_dtp_lin_matches_composition(shared, heads):
+def test_fused_dtp_lin_matches_composition(shared, heads, save_z):
     x, sh, w = _data()
     plan = DTPLinPlan(TP, heads, fold_rescale=True, shared_weights=shared)
-    fused = make_fused_dtp_lin(plan, tile=128, interpret=True)
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True, save_z=save_z)
     hws = [_head_ws(h, 10 + i) for i, h in enumerate(heads)]
     ww = w[0] if shared else w
 
@@ -112,6 +114,7 @@ def test_fused_dtp_lin_edge_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_fused_vs_unfused(monkeypatch):
     """Mini nonlinear-message model: identical params, outputs and grads
     between the einsum path and the fused Pallas path."""
@@ -173,12 +176,51 @@ def test_model_fused_vs_unfused(monkeypatch):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4 * scale)
 
 
-def test_fused_dtp_lin_tile_skipping():
+@pytest.mark.slow
+@pytest.mark.parametrize("save_z", [False, True], ids=["remat-z", "save-z"])
+def test_fused_dtp_lin_no_x_backward(save_z):
+    """The model path's folded-shared plan (needs_dsh=False): with save_z the
+    backward reads no x at all; dx/dw/dW must still match the composition."""
+    x, sh, w = _data()
+    plan = DTPLinPlan(
+        TP, [LIN_OUT], fold_rescale=True, shared_weights=True, needs_dsh=False
+    )
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True, save_z=save_z)
+    hws = [_head_ws(LIN_OUT, 11)]
+    ww = w[0]
+
+    def f_fused(x, ww, hws):
+        return plan.split_output(fused(x, sh, ww, plan.pack_weights(hws)))[0]
+
+    def f_ref(x, ww, hws):
+        z = TP.apply(x, sh, ww[None, :], scale_weights=True)
+        return _ref_lin(z, LIN_OUT, hws[0])
+
+    np.testing.assert_allclose(
+        np.asarray(f_fused(x, ww, hws)), np.asarray(f_ref(x, ww, hws)), atol=2e-5
+    )
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) ** 2)
+
+    gf = jax.grad(loss(f_fused), argnums=(0, 1, 2))(x, ww, hws)
+    gr = jax.grad(loss(f_ref), argnums=(0, 1, 2))(x, ww, hws)
+    for name, a, b in zip(("dx", "dw", "dW"), gf, gr):
+        for u, v in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), atol=2e-4 * scale, err_msg=name
+            )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("save_z", [False, True], ids=["remat-z", "save-z"])
+def test_fused_dtp_lin_tile_skipping(save_z):
     """n_edges < E: fully-padded tail tiles emit zeros and zero cotangents,
     active-tile results are unchanged."""
     x, sh, w = _data()  # E = 256 = two tiles at T=128
     plan = DTPLinPlan(TP, [LIN_OUT])
-    fused = make_fused_dtp_lin(plan, tile=128, interpret=True)
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True, save_z=save_z)
     hws = [_head_ws(LIN_OUT, 3)]
     Ws = plan.pack_weights(hws)
     n = 100  # tile 0 active, tile 1 fully padded
@@ -207,7 +249,9 @@ def test_fused_dtp_lin_tile_skipping():
     ],
     ids=["single", "two-head", "shared-w"],
 )
-def test_fused_dtp_lin_mul256(shared, heads):
+@pytest.mark.slow
+@pytest.mark.parametrize("save_z", [False, True], ids=["remat-z", "save-z"])
+def test_fused_dtp_lin_mul256(shared, heads, save_z):
     """mul > 128 blocks (OC20's 256x0e flagship,
     /root/reference/nets/graph_attention_transformer_oc20.py:84) split across
     multiple 128-lane sub-slots: value + all first-order grads must match the
@@ -220,7 +264,7 @@ def test_fused_dtp_lin_mul256(shared, heads):
     sh = jax.random.normal(ks[1], (E, 4), jnp.float32)
     w = jax.random.normal(ks[2], (E, tp_big.weight_numel), jnp.float32)
     plan = DTPLinPlan(tp_big, heads, fold_rescale=True, shared_weights=shared)
-    fused = make_fused_dtp_lin(plan, tile=128, interpret=True)
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True, save_z=save_z)
     hws = [_head_ws(h, 20 + i, tp_big) for i, h in enumerate(heads)]
     ww = w[0] if shared else w
 

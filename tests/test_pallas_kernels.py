@@ -144,3 +144,33 @@ def test_packed_kernel_matches_einsum():
     g = jax.grad(lambda x: jnp.sum(jnp.sin(k(x, sh, w))))(x)
     gr = jax.grad(lambda x: jnp.sum(jnp.sin(tp.apply(x, sh, w, scale_weights=True))))(x)
     assert float(jnp.max(jnp.abs(g - gr))) < 1e-12
+
+
+def test_csr_segment_sum_matches_xla():
+    """CSR node-tile scatter kernel (kernels/segment_csr_pallas.py) vs XLA's
+    segment_sum: forward and gather backward, non-multiple shapes, masked
+    edges, empty and boundary-straddling segments."""
+    from equiformer_tpu.kernels.segment_csr_pallas import csr_segment_sum
+
+    N, E, C = 300, 700, 130
+    dst = jnp.asarray(np.sort(RNG.integers(0, N, E)).astype(np.int32))
+    val = jnp.asarray(RNG.normal(size=(E, C)), jnp.float32)
+    mask = jnp.asarray(RNG.random(E) > 0.2)
+    ref = jax.ops.segment_sum(
+        jnp.where(mask[:, None], val, 0), dst, num_segments=N
+    )
+    out = csr_segment_sum(val, dst, N, mask=mask, K=256)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+    gk = jax.grad(
+        lambda v: jnp.sum(csr_segment_sum(v, dst, N, mask=mask, K=128) ** 2)
+    )(val)
+    gr = jax.grad(
+        lambda v: jnp.sum(
+            jax.ops.segment_sum(
+                jnp.where(mask[:, None], v, 0), dst, num_segments=N
+            )
+            ** 2
+        )
+    )(val)
+    assert float(jnp.max(jnp.abs(gk - gr))) < 1e-4
