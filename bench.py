@@ -81,12 +81,25 @@ def tight_edge_cap(data, batch_size, r, slack: int = 128) -> int:
     return ((max(per_batch) + slack + 127) // 128) * 128
 
 
-def step_flops(task: str, batch_size: int) -> float:
+def step_flops(task: str, batch_size: int, edge_cap: int = 0) -> float:
     """Analytic FLOPs for one training step at this batch size, via XLA cost
     analysis of the einsum-path model lowered on CPU (run in a subprocess so
-    the parent's backend choice is untouched).  Returns 0.0 on failure."""
+    the parent's backend choice is untouched).  Returns 0.0 on failure.
+
+    The count is a pure function of (task, batch, edge capacity), so it is
+    cached in /tmp across invocations — the CPU lowering takes minutes."""
+    cache_path = "/tmp/equiformer_bench_flops.json"
+    key = f"{task}:{batch_size}:{edge_cap}"
+    try:
+        with open(cache_path) as fh:
+            cache = json.load(fh)
+        if key in cache:
+            return float(cache[key])
+    except Exception:
+        cache = {}
     env = dict(os.environ)
     env["EQUIFORMER_TPU_PALLAS"] = "0"
+    flops = 0.0
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flops-only",
@@ -95,10 +108,17 @@ def step_flops(task: str, batch_size: int) -> float:
         )
         for line in out.stdout.splitlines():
             if line.startswith('{"flops_per_step"'):
-                return float(json.loads(line)["flops_per_step"])
+                flops = float(json.loads(line)["flops_per_step"])
     except Exception:
         pass
-    return 0.0
+    if flops > 0:
+        cache[key] = flops
+        try:
+            with open(cache_path, "w") as fh:
+                json.dump(cache, fh)
+        except Exception:
+            pass
+    return flops
 
 
 def build_qm9(args, batch_size):
@@ -344,7 +364,7 @@ def main():
     }
     baseline = A100_BASELINE_GRAPHS_PER_SEC
     if not args.smoke:
-        flops = step_flops(args.task, batch_size)
+        flops = step_flops(args.task, batch_size, int(args.loose_edges))
         if flops > 0:
             achieved = flops * (graphs_per_sec / batch_size)
             result["flops_per_step"] = flops

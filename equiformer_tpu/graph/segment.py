@@ -17,12 +17,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _csr_scatter_enabled() -> bool:
+    """Route wide sorted segment sums through the CSR Pallas kernel
+    (kernels/segment_csr_pallas.py) — 2-3x faster than XLA's sorted scatter
+    at attention widths on v5e (scripts/seg_sorted_bench.py).  On by default
+    on TPU; override with EQUIFORMER_TPU_CSR_SCATTER=0/1."""
+    import os
+
+    env = os.environ.get("EQUIFORMER_TPU_CSR_SCATTER")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
+_CSR_MIN_COLS = 128  # narrower sums don't fill the MXU lanes; keep XLA
+
+
+def _csr_eligible(data, sorted: bool) -> bool:
+    return (
+        sorted
+        and data.ndim == 2
+        and data.shape[-1] >= _CSR_MIN_COLS
+        and _csr_scatter_enabled()
+    )
+
+
 def segment_sum(data, segment_ids, num_segments: int, mask=None, sorted: bool = False):
     """Sum ``data`` [E, ...] into ``num_segments`` rows by ``segment_ids``.
 
     ``sorted=True`` asserts segment_ids are non-decreasing (dst-sorted edges
     from the radius-graph builders, or node batch ids from collate) so XLA
-    can use the cheaper sorted-segment lowering."""
+    can use the cheaper sorted-segment lowering; wide sorted sums take the
+    CSR Pallas kernel on TPU (see _csr_scatter_enabled)."""
+    if _csr_eligible(data, sorted):
+        from ..kernels.segment_csr_pallas import csr_segment_sum
+
+        return csr_segment_sum(data, segment_ids, num_segments, mask=mask)
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
@@ -138,8 +168,7 @@ def _gather_add_fwd(xs, xd, src, dst, num_nodes):
 def _gather_add_bwd(num_nodes, res, g):
     src, dst = res
     dxs = jax.ops.segment_sum(g, src, num_segments=num_nodes)
-    dxd = jax.ops.segment_sum(g, dst, num_segments=num_nodes,
-                              indices_are_sorted=True)
+    dxd = segment_sum(g, dst, num_nodes, sorted=True)
     return dxs, dxd, None, None
 
 
@@ -159,10 +188,8 @@ def _gather_add_rev_bwd(num_nodes, res, g):
     src, dst, rev = res
     # padded-edge cotangents are zero (downstream ops mask padded edges),
     # so the arbitrary rev mapping on padding contributes nothing
-    dxs = jax.ops.segment_sum(g[rev], dst, num_segments=num_nodes,
-                              indices_are_sorted=True)
-    dxd = jax.ops.segment_sum(g, dst, num_segments=num_nodes,
-                              indices_are_sorted=True)
+    dxs = segment_sum(g[rev], dst, num_nodes, sorted=True)
+    dxd = segment_sum(g, dst, num_nodes, sorted=True)
     return dxs, dxd, None, None, None
 
 

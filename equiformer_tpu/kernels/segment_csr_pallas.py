@@ -46,8 +46,10 @@ def _kernel(K, C, tstart, val_hbm, dst_hbm, out_ref, vbuf, dbuf, acc, vsem, dsem
         pltpu.make_async_copy(
             val_hbm.at[pl.ds(c * K, K), :], vbuf.at[slot], vsem.at[slot]
         ).start()
+        # dst is laid out [1, E]: the K-aligned column slice keeps the lane
+        # start a multiple of 128 (sublane-dim slices of size 1 are not)
         pltpu.make_async_copy(
-            dst_hbm.at[pl.ds(c, 1), :], dbuf.at[slot], dsem.at[slot]
+            dst_hbm.at[:, pl.ds(c * K, K)], dbuf.at[slot], dsem.at[slot]
         ).start()
 
     def wait_dma(c, slot):
@@ -55,7 +57,7 @@ def _kernel(K, C, tstart, val_hbm, dst_hbm, out_ref, vbuf, dbuf, acc, vsem, dsem
             val_hbm.at[pl.ds(c * K, K), :], vbuf.at[slot], vsem.at[slot]
         ).wait()
         pltpu.make_async_copy(
-            dst_hbm.at[pl.ds(c, 1), :], dbuf.at[slot], dsem.at[slot]
+            dst_hbm.at[:, pl.ds(c * K, K)], dbuf.at[slot], dsem.at[slot]
         ).wait()
 
     acc[:] = jnp.zeros_like(acc)
@@ -102,7 +104,7 @@ def _csr_call(val, dst2, tstart, K: int, interpret: bool):
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # val stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # dst chunks [E//K, K]
+                pl.BlockSpec(memory_space=pltpu.ANY),  # dst [1, E]
             ],
             out_specs=pl.BlockSpec((LANE, C), lambda i, *_: (i, 0)),
             scratch_shapes=[
@@ -127,7 +129,7 @@ def _csr_segment_sum_padded(val, dst, num_nodes: int, K: int, interpret: bool):
     tstart = jnp.searchsorted(
         dst, jnp.arange(0, n_pad + 1, LANE, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    dst2 = dst.reshape(val.shape[0] // K, K)
+    dst2 = dst.reshape(1, val.shape[0])
     return _csr_call(val, dst2, tstart, K, interpret)
 
 

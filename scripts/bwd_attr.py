@@ -94,7 +94,6 @@ def main():
         g_scr = scr[2 * nG : 3 * nG]
 
         i = pl.program_id(0)
-        wrow = slice(None)
 
         @pl.when(i == 0)
         def _():
@@ -102,7 +101,7 @@ def main():
                 zs[:] = jnp.zeros_like(zs)
             dsh_ref[:] = jnp.zeros_like(dsh_ref)
 
-        _align_inputs(plan, x_ref, w_ref, x_al, w_al, wrow, T)
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
         cols = sh_ref[:]
         if stage >= 1:
             _fma_z(plan, cols, x_al, w_al, z_scr, T)

@@ -174,3 +174,27 @@ def test_csr_segment_sum_matches_xla():
         )
     )(val)
     assert float(jnp.max(jnp.abs(gk - gr))) < 1e-4
+
+
+def test_segment_sum_csr_routing(monkeypatch):
+    """graph/segment.segment_sum routes wide sorted sums through the CSR
+    kernel when EQUIFORMER_TPU_CSR_SCATTER=1; results match the XLA path
+    (bf16 data, f32 kernel accumulation)."""
+    from equiformer_tpu.graph import segment
+
+    N, E, C = 256, 512, 256
+    dst = jnp.asarray(np.sort(RNG.integers(0, N, E)).astype(np.int32))
+    val = jnp.asarray(RNG.normal(size=(E, C)), jnp.bfloat16)
+    mask = jnp.asarray(RNG.random(E) > 0.3)
+
+    monkeypatch.setenv("EQUIFORMER_TPU_CSR_SCATTER", "0")
+    ref = segment.segment_sum(val, dst, N, mask=mask, sorted=True)
+    monkeypatch.setenv("EQUIFORMER_TPU_CSR_SCATTER", "1")
+    out = segment.segment_sum(val, dst, N, mask=mask, sorted=True)
+    assert out.dtype == ref.dtype
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert float(err) < 0.15  # bf16 scatter accumulation tolerance
+
+    # narrow sums must stay on XLA (no kernel call for C < 128)
+    narrow = segment.segment_sum(val[:, :8], dst, N, mask=mask, sorted=True)
+    assert narrow.shape == (N, 8)
