@@ -30,29 +30,52 @@ def _csr_scatter_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-_CSR_MIN_COLS = 128  # narrower sums don't fill the MXU lanes; keep XLA
+def _csr_min_cols() -> int:
+    """Narrowest sum routed to the CSR kernel (narrower inputs are padded to
+    the 128 lanes, trading DMA bloat for XLA's scatter; the microbench says
+    the kernel still wins at C=64).  EQUIFORMER_TPU_CSR_MIN_COLS overrides."""
+    import os
+
+    return int(os.environ.get("EQUIFORMER_TPU_CSR_MIN_COLS", "128"))
 
 
-def _csr_eligible(data, sorted: bool) -> bool:
+def _csr_eligible(data, sorted: bool, higher_order: bool) -> bool:
     return (
         sorted
-        and data.ndim == 2
-        and data.shape[-1] >= _CSR_MIN_COLS
+        and not higher_order  # custom_vjp: first-order AD only
+        and data.ndim in (2, 3)
+        and _flat_cols(data) >= _csr_min_cols()
         and _csr_scatter_enabled()
     )
 
 
-def segment_sum(data, segment_ids, num_segments: int, mask=None, sorted: bool = False):
+def _flat_cols(data) -> int:
+    n = 1
+    for d in data.shape[1:]:
+        n *= d
+    return n
+
+
+def segment_sum(data, segment_ids, num_segments: int, mask=None, sorted: bool = False,
+                higher_order: bool = False):
     """Sum ``data`` [E, ...] into ``num_segments`` rows by ``segment_ids``.
 
     ``sorted=True`` asserts segment_ids are non-decreasing (dst-sorted edges
     from the radius-graph builders, or node batch ids from collate) so XLA
     can use the cheaper sorted-segment lowering; wide sorted sums take the
-    CSR Pallas kernel on TPU (see _csr_scatter_enabled)."""
-    if _csr_eligible(data, sorted):
+    CSR Pallas kernel on TPU (see _csr_scatter_enabled), whose custom VJP is
+    first-order only — force models pass ``higher_order=True`` to stay on
+    the double-differentiable XLA op."""
+    if _csr_eligible(data, sorted, higher_order):
         from ..kernels.segment_csr_pallas import csr_segment_sum
 
-        return csr_segment_sum(data, segment_ids, num_segments, mask=mask)
+        shape = data.shape
+        if data.ndim == 3:  # [E, H, D] attention values: sum is elementwise
+            data = data.reshape(shape[0], -1)
+        out = csr_segment_sum(data, segment_ids, num_segments, mask=mask)
+        if len(shape) == 3:
+            out = out.reshape((num_segments,) + shape[1:])
+        return out
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
@@ -131,12 +154,14 @@ def degree(segment_ids, num_segments: int, mask=None, dtype=jnp.float32,
                                indices_are_sorted=sorted)
 
 
-def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: float, mask=None, sorted: bool = False):
+def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: float, mask=None, sorted: bool = False,
+                       higher_order: bool = False):
     """Degree-normalized aggregation: segment-sum / sqrt(avg_aggregate_num).
 
     Reference ``ScaledScatter`` (graph_attention_transformer.py:693-706).
     """
-    return segment_sum(data, segment_ids, num_segments, mask, sorted=sorted) / (
+    return segment_sum(data, segment_ids, num_segments, mask, sorted=sorted,
+                       higher_order=higher_order) / (
         avg_aggregate_num ** 0.5
     )
 
@@ -230,8 +255,7 @@ def _global_shift_softmax(scores, segment_ids, num_segments, mask, sorted):
         ex = jnp.where(emask, jnp.exp(shifted), 0)
     else:
         ex = jnp.exp(shifted)
-    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments,
-                                indices_are_sorted=sorted)
+    denom = segment_sum(ex, segment_ids, num_segments, sorted=sorted)
     denom = jnp.maximum(denom, jnp.asarray(1e-16, scores.dtype))
     return ex / denom[segment_ids]
 
@@ -244,8 +268,7 @@ def _sorted_softmax_fwd(scores, segment_ids, num_segments, mask, sorted):
 def _sorted_softmax_bwd(num_segments, sorted, res, g):
     p, segment_ids = res
     pg = p * g
-    s = jax.ops.segment_sum(pg, segment_ids, num_segments=num_segments,
-                            indices_are_sorted=sorted)
+    s = segment_sum(pg, segment_ids, num_segments, sorted=sorted)
     return pg - p * s[segment_ids], None, None
 
 

@@ -113,7 +113,8 @@ class DotProductAttention(nn.Module):
             alpha = alpha * m.astype(alpha.dtype) / keep
 
         attn = v * alpha[..., None]
-        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True)
+        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True,
+                           higher_order=self.higher_order_grads)
         attn = heads2vec(head, attn)
 
         if self.rescale_degree:

@@ -189,7 +189,8 @@ class GraphAttention(nn.Module):
             alpha = alpha * m.astype(alpha.dtype) / keep
 
         attn = value * alpha[..., None]
-        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True)
+        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True,
+                           higher_order=self.higher_order_grads)
         attn = heads2vec(head, attn)
 
         if self.rescale_degree:

@@ -405,5 +405,5 @@ class EdgeDegreeEmbedding(nn.Module):
             edge_feat = self.proj(edge_feat)
         return scaled_scatter_sum(
             edge_feat, edge_dst, num_nodes, self.avg_degree, mask=edge_mask,
-            sorted=True,
+            sorted=True, higher_order=self.higher_order_grads,
         )

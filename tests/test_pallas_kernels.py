@@ -198,3 +198,25 @@ def test_segment_sum_csr_routing(monkeypatch):
     # narrow sums must stay on XLA (no kernel call for C < 128)
     narrow = segment.segment_sum(val[:, :8], dst, N, mask=mask, sorted=True)
     assert narrow.shape == (N, 8)
+
+    # 3-D [E, H, D] attention values flatten through the kernel
+    v3 = val.reshape(E, 2, C // 2)
+    monkeypatch.setenv("EQUIFORMER_TPU_CSR_SCATTER", "0")
+    ref3 = segment.segment_sum(v3, dst, N, mask=mask, sorted=True)
+    monkeypatch.setenv("EQUIFORMER_TPU_CSR_SCATTER", "1")
+    out3 = segment.segment_sum(v3, dst, N, mask=mask, sorted=True)
+    assert out3.shape == ref3.shape
+    err3 = jnp.max(jnp.abs(out3.astype(jnp.float32) - ref3.astype(jnp.float32)))
+    assert float(err3) < 0.15
+
+    # higher_order=True must stay on the double-differentiable XLA op:
+    # reverse-over-reverse would raise through the CSR custom_vjp
+    vsmall = jnp.asarray(RNG.normal(size=(8, 256)), jnp.float32)
+    dsmall = jnp.asarray(np.sort(RNG.integers(0, 4, 8)).astype(np.int32))
+
+    def e(v):
+        return jnp.sum(segment.segment_sum(
+            v, dsmall, 4, sorted=True, higher_order=True) ** 2)
+
+    gg = jax.grad(lambda v: jnp.sum(jax.grad(e)(v) ** 2))(vsmall)
+    assert gg.shape == vsmall.shape
