@@ -334,13 +334,26 @@ class PallasDTP:
     def __init__(
         self,
         tp: TensorProduct,
-        tile: int = 128,
+        tile: Optional[int] = None,
         interpret: Optional[bool] = None,
         fold_rescale: bool = True,
         shared_weights: bool = False,
         first_order: bool = False,
     ):
         self.tp = tp
+        if tile is None:
+            # Auto edge-tile: wide plans (the L3 models' unsimplified DTP
+            # output is 9408 columns) overflow Mosaic's 16M scoped-VMEM stack
+            # at tile 128 (observed 20.4M for d_out=9408); the stack scales
+            # linearly with the tile, so halve until a calibrated live-bytes
+            # proxy fits.  L2/OC20-width plans keep the tuned tile of 128.
+            tile = 128
+            width = (
+                tp.irreps_in1.dim + tp.irreps_in2.dim + tp.weight_numel
+                + 2 * tp.irreps_out.dim
+            )
+            while tile > 32 and tile * width * 4 > 8 * 2**20:
+                tile //= 2
         self.tile = tile
         self.shared_weights = shared_weights
         if interpret is None:
