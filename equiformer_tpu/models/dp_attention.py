@@ -19,10 +19,8 @@ from ..graph.segment import (
     active_edge_bound,
     degree,
     gather_add,
-    segment_softmax,
-    segment_sum,
 )
-from ..nn.attention_utils import heads2vec, vec2heads
+from ..nn.attention_utils import heads2vec, softmax_dropout_combine, vec2heads
 from ..nn.dropout import EquivariantDropout
 from ..nn.linear import IrrepsLinear
 from ..nn.tp_modules import SeparableFCTP
@@ -104,17 +102,10 @@ class DotProductAttention(nn.Module):
         v = kv[:, H:, :]
 
         alpha = jnp.einsum("ehk,ehk->eh", q[edges.dst], k)
-        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask,
-                                sorted=True, higher_order=self.higher_order_grads)
-        if self.alpha_drop != 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = 1.0 - self.alpha_drop
-            m = jax.random.bernoulli(rng, keep, alpha.shape)
-            alpha = alpha * m.astype(alpha.dtype) / keep
-
-        attn = v * alpha[..., None]
-        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True,
-                           higher_order=self.higher_order_grads)
+        attn = softmax_dropout_combine(
+            self, alpha, v, edges, num_nodes, self.alpha_drop,
+            deterministic, self.higher_order_grads,
+        )
         attn = heads2vec(head, attn)
 
         if self.rescale_degree:

@@ -40,11 +40,15 @@ from ..graph.segment import (
     degree,
     gather_add,
     scaled_scatter_sum,
-    segment_softmax,
     segment_sum,
 )
 from ..nn.activation import Activation, normalized_activation
-from ..nn.attention_utils import heads2vec, heads_irreps, vec2heads
+from ..nn.attention_utils import (
+    heads2vec,
+    heads_irreps,
+    softmax_dropout_combine,
+    vec2heads,
+)
 from ..nn.dropout import EquivariantDropout, GraphDropPath
 from ..nn.linear import IrrepsLinear
 from ..nn.norms import get_norm_layer
@@ -180,17 +184,10 @@ class GraphAttention(nn.Module):
 
         alpha = self.alpha_act(alpha)
         alpha = jnp.einsum("ehk,hk->eh", alpha, self.alpha_dot.astype(alpha.dtype))
-        alpha = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask,
-                                sorted=True, higher_order=self.higher_order_grads)
-        if self.alpha_drop != 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = 1.0 - self.alpha_drop
-            m = jax.random.bernoulli(rng, keep, alpha.shape)
-            alpha = alpha * m.astype(alpha.dtype) / keep
-
-        attn = value * alpha[..., None]
-        attn = segment_sum(attn, edges.dst, num_nodes, mask=edges.mask, sorted=True,
-                           higher_order=self.higher_order_grads)
+        attn = softmax_dropout_combine(
+            self, alpha, value, edges, num_nodes, self.alpha_drop,
+            deterministic, self.higher_order_grads,
+        )
         attn = heads2vec(head, attn)
 
         if self.rescale_degree:

@@ -8,9 +8,67 @@ back.  Pure reshapes — XLA fuses them away.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.irreps import Irreps
+
+
+def _csr_attention_enabled() -> bool:
+    """Fused softmax+dropout+combine kernel (kernels/attn_csr_pallas.py); on
+    by default wherever the CSR scatter is.  EQUIFORMER_TPU_CSR_ATTN=0/1
+    overrides (for A/B benchmarking)."""
+    import os
+
+    env = os.environ.get("EQUIFORMER_TPU_CSR_ATTN")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    from ..graph.segment import _csr_scatter_enabled
+
+    return _csr_scatter_enabled()
+
+
+def softmax_dropout_combine(module, alpha, value, edges, num_nodes: int,
+                            alpha_drop: float, deterministic: bool,
+                            higher_order: bool) -> jnp.ndarray:
+    """The attention aggregation tail shared by GraphAttention and
+    DotProductAttention: ``p = segment_softmax(alpha, dst)``, alpha dropout,
+    ``out = segment_sum(p * value, dst)``  (reference
+    graph_attention_transformer.py:508-513).
+
+    ``alpha`` [E, H] are pre-softmax logits; ``value`` [E, H, D].  On TPU with
+    first-order AD the whole tail runs as one CSR node-tile kernel whose
+    backward needs no scatters (kernels/attn_csr_pallas.py); otherwise the
+    composed custom-VJP ops.  Both branches draw the same dropout mask from
+    ``module.make_rng('dropout')``, so the A/B is bit-reproducible."""
+    from ..graph.segment import segment_softmax, segment_sum
+
+    H, D = value.shape[1], value.shape[2]
+    use_fused = (
+        not higher_order
+        and H * D >= 128  # narrow combines: DMA padding outweighs the fusion
+        and _csr_attention_enabled()
+    )
+    dropmul = None
+    if alpha_drop != 0.0 and not deterministic:
+        rng = module.make_rng("dropout")
+        keep = 1.0 - alpha_drop
+        dropmul = jax.random.bernoulli(rng, keep, alpha.shape).astype(
+            alpha.dtype
+        ) / keep
+    if use_fused:
+        from ..kernels.attn_csr_pallas import csr_attention_combine
+
+        return csr_attention_combine(
+            alpha, value, edges.dst, num_nodes, mask=edges.mask,
+            dropmul=dropmul,
+        )
+    p = segment_softmax(alpha, edges.dst, num_nodes, mask=edges.mask,
+                        sorted=True, higher_order=higher_order)
+    if dropmul is not None:
+        p = p * dropmul
+    return segment_sum(value * p[..., None], edges.dst, num_nodes,
+                       mask=edges.mask, sorted=True, higher_order=higher_order)
 
 
 def vec2heads(irreps_head: Irreps, num_heads: int, x: jnp.ndarray) -> jnp.ndarray:

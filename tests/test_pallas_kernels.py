@@ -220,3 +220,98 @@ def test_segment_sum_csr_routing(monkeypatch):
 
     gg = jax.grad(lambda v: jnp.sum(jax.grad(e)(v) ** 2))(vsmall)
     assert gg.shape == vsmall.shape
+
+
+def test_csr_attention_combine_matches_composed():
+    """Fused softmax+dropout+combine kernel (kernels/attn_csr_pallas.py) vs
+    the composed segment_softmax + segment_sum path: forward, dscore and
+    dvalue cotangents, with/without a dropout multiplier, masked tail
+    padding, empty segments, bf16 values."""
+    from equiformer_tpu.graph.segment import segment_softmax, segment_sum
+    from equiformer_tpu.kernels.attn_csr_pallas import csr_attention_combine
+
+    E, H, D, N = 500, 4, 120, 180
+    dst = np.sort(RNG.integers(0, N - 40, E)).astype(np.int32)  # empty tail segs
+    mask = np.ones(E, bool)
+    mask[-60:] = False
+    dst[-60:] = N - 1
+    dstj, maskj = jnp.asarray(dst), jnp.asarray(mask)
+    scores = jnp.asarray(RNG.normal(size=(E, H)), jnp.float32)
+    value = jnp.asarray(RNG.normal(size=(E, H, D)), jnp.float32)
+    dropmul = jnp.asarray(RNG.integers(0, 2, (E, H)) / 0.8, jnp.float32)
+
+    def composed(s, v, dm):
+        p = segment_softmax(s, dstj, N, mask=maskj, sorted=True)
+        if dm is not None:
+            p = p * dm
+        return segment_sum(v * p[..., None], dstj, N, mask=maskj, sorted=True)
+
+    for dm in (None, dropmul):
+        ref = composed(scores, value, dm)
+        out = csr_attention_combine(scores, value, dstj, N, mask=maskj, dropmul=dm)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+        g = jnp.asarray(RNG.normal(size=ref.shape), jnp.float32)
+        gs1, gv1 = jax.grad(
+            lambda s, v: jnp.sum(composed(s, v, dm) * g), (0, 1)
+        )(scores, value)
+        gs2, gv2 = jax.grad(
+            lambda s, v: jnp.sum(
+                csr_attention_combine(s, v, dstj, N, mask=maskj, dropmul=dm) * g
+            ),
+            (0, 1),
+        )(scores, value)
+        assert float(jnp.max(jnp.abs(gs1 - gs2))) < 1e-4
+        assert float(jnp.max(jnp.abs(gv1 - gv2))) < 1e-5
+
+    # bf16 values (the training dtype): kernel accumulates in f32
+    out16 = csr_attention_combine(
+        scores.astype(jnp.bfloat16), value.astype(jnp.bfloat16), dstj, N,
+        mask=maskj,
+    )
+    ref16 = composed(scores.astype(jnp.bfloat16), value.astype(jnp.bfloat16), None)
+    err = jnp.max(jnp.abs(out16.astype(jnp.float32) - ref16.astype(jnp.float32)))
+    assert float(err) < 0.05
+
+
+def test_softmax_dropout_combine_routing(monkeypatch):
+    """nn.attention_utils.softmax_dropout_combine: the fused path (flag on)
+    matches the composed path (flag off) in a GraphAttention-shaped call,
+    including identical dropout masks from the same rng stream."""
+    import types
+
+    from equiformer_tpu.nn.attention_utils import softmax_dropout_combine
+
+    E, H, D, N = 300, 2, 64, 100
+    dst = np.sort(RNG.integers(0, N, E)).astype(np.int32)
+    mask = np.ones(E, bool)
+    mask[-30:] = False
+    dst[-30:] = N - 1
+    edges = types.SimpleNamespace(dst=jnp.asarray(dst), mask=jnp.asarray(mask))
+    alpha = jnp.asarray(RNG.normal(size=(E, H)), jnp.float32)
+    value = jnp.asarray(RNG.normal(size=(E, H, D)), jnp.float32)
+    module = types.SimpleNamespace(
+        make_rng=lambda name: jax.random.PRNGKey(7)
+    )
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("EQUIFORMER_TPU_CSR_ATTN", flag)
+        outs[flag] = softmax_dropout_combine(
+            module, alpha, value, edges, N, alpha_drop=0.3,
+            deterministic=False, higher_order=False,
+        )
+    assert float(jnp.max(jnp.abs(outs["0"] - outs["1"]))) < 1e-5
+
+    # higher_order=True must never take the fused kernel (first-order vjp)
+    monkeypatch.setenv("EQUIFORMER_TPU_CSR_ATTN", "1")
+
+    def e(v):
+        return jnp.sum(
+            softmax_dropout_combine(
+                module, alpha, v, edges, N, alpha_drop=0.0,
+                deterministic=True, higher_order=True,
+            ) ** 2
+        )
+
+    gg = jax.grad(lambda v: jnp.sum(jax.grad(e)(v) ** 2))(value)
+    assert gg.shape == value.shape
