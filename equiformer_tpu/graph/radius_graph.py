@@ -124,9 +124,21 @@ def edge_vectors(pos: jnp.ndarray, edges: EdgeList, eps: float = 1e-12):
     """Edge displacement vec = pos[src] - pos[dst] and its length.
 
     Matches reference orientation (graph_attention_transformer.py:868).
-    Padded edges produce zero vectors / zero length.
+    Padded edges produce zero vectors / zero length.  The gathers run through
+    the take primitive so the position cotangents of force models scatter
+    back through sorted segment sums at every AD order (the masked vec
+    guarantees zero cotangents on padded edges, which the rev-twin trick
+    requires).
     """
-    vec = pos[edges.src] - pos[edges.dst]
+    from .linear_prims import take_rows
+
+    pd = take_rows(pos, edges.dst, t_ids=edges.dst, t_sorted=True)
+    if edges.rev is not None:
+        ps = take_rows(pos, edges.src, t_ids=edges.dst, t_perm=edges.rev,
+                       t_sorted=True)
+    else:
+        ps = take_rows(pos, edges.src)
+    vec = ps - pd
     vec = jnp.where(edges.mask[:, None], vec, 0.0)
     length = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), eps))
     length = jnp.where(edges.mask, length, 0.0)

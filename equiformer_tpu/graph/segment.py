@@ -63,9 +63,20 @@ def segment_sum(data, segment_ids, num_segments: int, mask=None, sorted: bool = 
     ``sorted=True`` asserts segment_ids are non-decreasing (dst-sorted edges
     from the radius-graph builders, or node batch ids from collate) so XLA
     can use the cheaper sorted-segment lowering; wide sorted sums take the
-    CSR Pallas kernel on TPU (see _csr_scatter_enabled), whose custom VJP is
-    first-order only — force models pass ``higher_order=True`` to stay on
-    the double-differentiable XLA op."""
+    CSR Pallas kernel on TPU (see _csr_scatter_enabled).  Force models pass
+    ``higher_order=True``: the sum then routes through the segsum primitive
+    (graph/linear_prims.py) whose JVP/transpose rules keep every AD order on
+    the CSR kernel / sorted lowerings (custom_vjp, used on the first-order
+    path, cannot be linearized)."""
+    if higher_order:
+        from .linear_prims import segsum_rows
+
+        if mask is not None:
+            data = jnp.where(_expand(mask, data), data, 0)
+        return segsum_rows(
+            data, segment_ids, num_segments, sorted=sorted,
+            use_csr=_csr_eligible(data, sorted, False),
+        )
     if _csr_eligible(data, sorted, higher_order):
         from ..kernels.segment_csr_pallas import csr_segment_sum
 
@@ -120,16 +131,42 @@ def segment_softmax(scores, segment_ids, num_segments: int, mask=None,
     support the double backward force models need).
     """
     if higher_order:
-        return _segment_softmax_composed(scores, segment_ids, num_segments, mask, sorted)
+        return _segment_softmax_composed(scores, segment_ids, num_segments,
+                                         mask, sorted, higher_order=True)
     return sorted_segment_softmax(scores, segment_ids, num_segments, mask, sorted)
 
 
 def _segment_softmax_composed(scores, segment_ids, num_segments: int, mask=None,
-                              sorted: bool = False):
-    """The plain composed forward (kept for the custom-vjp impl + tests)."""
+                              sorted: bool = False, higher_order: bool = False):
+    """The plain composed forward (kept for the custom-vjp impl + tests).
+
+    With ``higher_order=True`` (the force-model path) the denominator sum and
+    the per-edge gathers run through the linear_prims primitives so every
+    reverse pass uses the sorted-segment lowering instead of XLA's derived
+    unsorted scatter-adds."""
+    if higher_order:
+        from .linear_prims import segsum_rows, take_rows
+
+        def seg_sum(x):
+            return segsum_rows(x, segment_ids, num_segments, sorted=sorted,
+                               use_csr=_csr_eligible(x, sorted, False))
+
+        def gather(x):
+            return take_rows(x, segment_ids, t_ids=segment_ids,
+                             t_sorted=sorted)
+    else:
+        def seg_sum(x):
+            return jax.ops.segment_sum(x, segment_ids,
+                                       num_segments=num_segments,
+                                       indices_are_sorted=sorted)
+
+        def gather(x):
+            return x[segment_ids]
+
     m = segment_max(scores, segment_ids, num_segments, mask, sorted=sorted)
     m = jnp.where(jnp.isfinite(m), m, 0)  # empty segments -> shift of 0
-    shifted = scores - m[segment_ids]
+    m = jax.lax.stop_gradient(m)  # any constant shift: softmax-invariant
+    shifted = scores - gather(m)
     if mask is not None:
         # zero the masked entries *before* exp so the untaken branch can't
         # overflow and poison gradients through jnp.where
@@ -138,10 +175,9 @@ def _segment_softmax_composed(scores, segment_ids, num_segments: int, mask=None,
         ex = jnp.where(emask, jnp.exp(shifted), 0)
     else:
         ex = jnp.exp(shifted)
-    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments,
-                                indices_are_sorted=sorted)
+    denom = seg_sum(ex)
     denom = jnp.maximum(denom, jnp.asarray(1e-16, scores.dtype))
-    return ex / denom[segment_ids]
+    return ex / gather(denom)
 
 
 def degree(segment_ids, num_segments: int, mask=None, dtype=jnp.float32,
@@ -166,7 +202,8 @@ def scaled_scatter_sum(data, segment_ids, num_segments: int, avg_aggregate_num: 
     )
 
 
-def gather_add(xs, xd, src, dst, num_nodes: int, rev=None):
+def gather_add(xs, xd, src, dst, num_nodes: int, rev=None,
+               higher_order: bool = False):
     """``xs[src] + xd[dst]`` with a segment-sum backward.
 
     The plain composition's backward emits two unsorted scatter-adds; edges
@@ -175,7 +212,18 @@ def gather_add(xs, xd, src, dst, num_nodes: int, rev=None):
     reverse-twin permutation of a symmetric edge list) is given, the src
     cotangent rides the sorted lowering too: summing g over src equals
     summing g[rev] over dst.  ``num_nodes`` is static (= xs.shape[0]).
+
+    ``higher_order=True`` (force models) builds the same computation from the
+    linear_prims take primitive, whose transpose rules encode the identical
+    sorted/rev-twin backward but compose to arbitrary AD order.
     """
+    if higher_order:
+        from .linear_prims import take_rows
+
+        gs = take_rows(xs, src, t_ids=dst, t_perm=rev, t_sorted=True) \
+            if rev is not None else take_rows(xs, src)
+        gd = take_rows(xd, dst, t_ids=dst, t_sorted=True)
+        return gs + gd
     if rev is None:
         return _gather_add(xs, xd, src, dst, num_nodes)
     return _gather_add_rev(xs, xd, src, dst, rev, num_nodes)

@@ -1,0 +1,565 @@
+"""Arbitrary-order-differentiable fused DTP+linear (the force-model hot op).
+
+The first-order fused kernel (dtp_lin_pallas.py) is a ``jax.custom_vjp`` — it
+cannot be linearized, so MD17/DeNS force training (grad-of-grad through
+``forces = -dE/dpos``, reference graph_attention_transformer_md17.py:318-325)
+previously fell back to the primitive-composed PallasDTP + XLA linear, which
+materializes the unsimplified DTP output ``z`` (9408 columns for the L3
+models) in HBM on every pass of every AD order.
+
+This module keeps the fusion at arbitrary order with the same trick the DTP
+T/R primitives use: the op ``out = Linear_W(DTP(x, sh, w))`` is one
+multilinear contraction of a fixed 5-tensor with legs (out, x, sh, w, W).
+**Transposing a multilinear map just swaps which leg is the output**, so the
+five single-output "leg variants"
+
+  out = F_out(x, sh, w, W)      dx  = F_x(g, sh, w, W)
+  dsh = F_sh(g, x, w, W)        dw  = F_w(g, x, sh, W)
+  dW  = F_W(g, x, sh, w)        (g = cotangent on the out leg)
+
+form a family closed under JVP (multilinearity: substitute one tangent) and
+transpose (swap legs) — autodiff of any order composes by induction, and
+every member is a fused Pallas kernel in which z / dz never leave VMEM.
+Shared-weight plans fold w into W outside the kernel
+(DTPLinPlan.scale_shared_weights, plain differentiable XLA), leaving a
+4-tensor with legs (out, x, sh, W).
+
+Kernel bodies reuse the dtp_lin_pallas building blocks (slot alignment, the
+lane-packed FMA phase, per-irrep-group MXU matmuls, scalar-prefetch tile
+skipping over the padded edge tail).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.extend import core as jex_core
+from jax.interpreters import ad, mlir
+
+from .dtp_lin_pallas import (
+    DTPLinPlan,
+    _align_inputs,
+    _fwd_kernel,
+    _n_scalar,
+    _packed_col,
+    _shared_spec,
+)
+
+LANE = 128
+
+# Canonical leg order of the contraction tensor; a variant's operands are the
+# legs in this order with its output leg removed ('w' absent for fold_shared
+# plans, 'W' expands to one operand per irrep group).
+_LEGS = ("out", "x", "sh", "w", "W")
+
+
+# --------------------------------------------------------------- plan registry
+# Primitive params must be hashable and *structurally stable* across traces
+# (flax setup() rebuilds modules every apply; a fresh object id per trace
+# would bust the jit cache), so plans are interned by a structural key.
+_PLAN_IDS = {}
+_PLANS = {}
+
+
+def _intern_plan(plan: DTPLinPlan, tile: int) -> int:
+    tp = plan.tp
+    key = (
+        str(tp.irreps_in1), str(tp.irreps_in2), str(tp.irreps_out),
+        tuple(str(h) for h in plan.head_irreps),
+        plan.fold_shared, plan.needs_dsh, tile,
+    )
+    if key not in _PLAN_IDS:
+        pid = len(_PLAN_IDS)
+        _PLAN_IDS[key] = pid
+        _PLANS[pid] = (plan, tile)
+    return _PLAN_IDS[key]
+
+
+def _legs_of(plan: DTPLinPlan, out_leg: str) -> Tuple[str, ...]:
+    legs = [l for l in _LEGS if l != out_leg]
+    if plan.fold_shared and "w" in legs:
+        legs.remove("w")
+    return tuple(legs)
+
+
+# ------------------------------------------------------------- kernel helpers
+def _gm_fill(plan, T, g_ref, g_scr):
+    """Stage the out-leg operand into per-group [ir.dim*T, cols] scratches."""
+    for gi, g in enumerate(plan.groups):
+        gm = g_scr[gi]
+        for k in range(g.ir.dim):
+            gm[k * T : (k + 1) * T, :] = g_ref[
+                :, g.out_off + k * g.cols : g.out_off + (k + 1) * g.cols
+            ]
+
+
+def _dz_phase(plan, T, W_refs, g_scr, dz_scr):
+    """dz = g @ W^T per group (MXU)."""
+    for gi in range(len(plan.groups)):
+        dz_scr[gi][:] = lax.dot_general(
+            g_scr[gi][:], W_refs[gi][:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dz_scr[gi].dtype)
+
+
+def _dz_slice(plan, dz_scr, cache, gi, k, fc, p, mul, T):
+    key = (gi, k, fc, p)
+    if key not in cache:
+        if p == 1:
+            cache[key] = dz_scr[gi][k * T : (k + 1) * T, fc : fc + LANE]
+        else:
+            r = T // p
+            cache[key] = jnp.concatenate(
+                [
+                    dz_scr[gi][k * T + g * r : k * T + (g + 1) * r, fc : fc + mul]
+                    for g in range(p)
+                ],
+                axis=1,
+            )
+    return cache[key]
+
+
+def _write_sloted(plan, slots, acc_by_slot, out_ref, T):
+    """Unpack slot-keyed accumulators into the flat (unaligned) output ref."""
+    out_ref[:] = jnp.zeros_like(out_ref)
+    for off, (slot, mul, p) in slots.items():
+        if slot not in acc_by_slot:
+            continue
+        acc = acc_by_slot[slot]
+        if p == 1:
+            out_ref[:, off : off + mul] = acc[:, :mul].astype(out_ref.dtype)
+        else:
+            r = T // p
+            for g in range(p):
+                out_ref[g * r : (g + 1) * r, off : off + mul] = acc[
+                    :, g * mul : (g + 1) * mul
+                ].astype(out_ref.dtype)
+
+
+def _edge_leg_kernel(plan: DTPLinPlan, T: int, out_leg: str, n_ref, *refs):
+    """Kernel for out_leg in ('x', 'sh', 'w'): dz off the MXU, then the
+    requested trilinear transpose of the FMA phase.
+
+    Operands arrive in canonical leg order minus the output leg:
+      'x'  -> (g, sh, [w], W*)   'sh' -> (g, x, [w], W*)   'w' -> (g, x, sh, W*)
+    (the 'sh' variant never reads sh; w is absent for fold_shared plans)."""
+    nG = len(plan.groups)
+    it = iter(refs)
+    g_ref = next(it)  # the 'out' leg operand (cotangent)
+    x_ref = sh_ref = w_ref = None
+    if out_leg == "x":
+        sh_ref = next(it)
+        if not plan.fold_shared:
+            w_ref = next(it)
+    elif out_leg == "sh":
+        x_ref = next(it)
+        if not plan.fold_shared:
+            w_ref = next(it)
+    else:  # 'w' (never fold_shared)
+        x_ref = next(it)
+        sh_ref = next(it)
+    W_refs = [next(it) for _ in range(nG)]
+    out_ref = next(it)
+    x_al = next(it) if x_ref is not None else None
+    w_al = next(it) if w_ref is not None else None
+    dz_scr = [next(it) for _ in range(nG)]
+    g_scr = [next(it) for _ in range(nG)]
+    assert next(it, None) is None
+
+    active = pl.program_id(0) * T < n_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(active)
+    def _():
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        _gm_fill(plan, T, g_ref, g_scr)
+        _dz_phase(plan, T, W_refs, g_scr, dz_scr)
+        cols = sh_ref[:] if sh_ref is not None else None
+
+        acc = {}
+        colcache, dzcache = {}, {}
+        for t, (gi, k, fc) in plan._terms:
+            xs, mul, p = plan.x_slots[t.a_off]
+            r = T // p
+            lanes = LANE if p == 1 else p * mul
+            dz = _dz_slice(plan, dz_scr, dzcache, gi, k, fc, p, mul, T)
+            if out_leg == "sh":
+                xv = x_al[:r, xs : xs + lanes]
+                if plan.fold_shared:
+                    v = t.coeff * (xv * dz)
+                else:
+                    ws, _, _ = plan.w_slots[t.b_off]
+                    v = t.coeff * (xv * (w_al[:r, ws : ws + lanes] * dz))
+                key = (t.col_off, p, mul)
+                acc[key] = acc.get(key, 0.0) + v
+                continue
+            cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
+            cdz = (t.coeff * cp) * dz
+            if out_leg == "x":
+                if plan.fold_shared:
+                    v = cdz
+                else:
+                    ws, _, _ = plan.w_slots[t.b_off]
+                    v = cdz * w_al[:r, ws : ws + lanes]
+                acc[xs] = acc.get(xs, 0.0) + v
+            else:  # 'w' (never fold_shared)
+                ws, _, _ = plan.w_slots[t.b_off]
+                xv = x_al[:r, xs : xs + lanes]
+                acc[ws] = acc.get(ws, 0.0) + cdz * xv
+        if out_leg == "x":
+            _write_sloted(plan, plan.x_slots, acc, out_ref, T)
+        elif out_leg == "w":
+            _write_sloted(plan, plan.w_slots, acc, out_ref, T)
+        else:  # 'sh': column sums
+            out_ref[:] = jnp.zeros_like(out_ref)
+            for (j, p, mul), a in acc.items():
+                if p == 1:
+                    out_ref[:, j : j + 1] += jnp.sum(
+                        a, axis=1, keepdims=True
+                    ).astype(out_ref.dtype)
+                else:
+                    r = T // p
+                    for g in range(p):
+                        out_ref[g * r : (g + 1) * r, j : j + 1] += jnp.sum(
+                            a[:, g * mul : (g + 1) * mul], axis=1, keepdims=True
+                        ).astype(out_ref.dtype)
+
+
+def _W_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
+    """out_leg == 'W': z via the FMA phase, dW_g = z^T @ g accumulated across
+    the edge grid in fp32 output blocks."""
+    from .dtp_lin_pallas import _fma_z
+
+    nG = len(plan.groups)
+    it = iter(refs)
+    g_ref = next(it)
+    x_ref = next(it)
+    sh_ref = next(it)
+    w_ref = None if plan.fold_shared else next(it)
+    dW_refs = [next(it) for _ in range(nG)]
+    x_al = next(it)
+    w_al = None if plan.fold_shared else next(it)
+    z_scr = [next(it) for _ in range(nG)]
+    g_scr = [next(it) for _ in range(nG)]
+    assert next(it, None) is None
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for zs in z_scr:
+            zs[:] = jnp.zeros_like(zs)
+        for gi in range(nG):
+            dW_refs[gi][:] = jnp.zeros_like(dW_refs[gi])
+
+    active = i * T < n_ref[0]
+
+    @pl.when(active)
+    def _():
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
+        _gm_fill(plan, T, g_ref, g_scr)
+        for gi in range(nG):
+            dW_refs[gi][:] += lax.dot_general(
+                z_scr[gi][:], g_scr[gi][:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+# ---------------------------------------------------------------- pallas calls
+def _edge_spec(T, d):
+    return pl.BlockSpec((T, d), lambda i, *_: (i, 0))
+
+
+def _leg_dim(plan: DTPLinPlan, leg: str) -> int:
+    return {"out": plan.d_out, "x": plan.d_x, "sh": plan.d_sh, "w": plan.d_w}[leg]
+
+
+def _leg_call(plan: DTPLinPlan, T: int, out_leg: str, interpret: bool,
+              n, *operands):
+    nG = len(plan.groups)
+    legs = _legs_of(plan, out_leg)
+    E = operands[0].shape[0]
+    dtype = operands[0].dtype
+    in_specs, edge_ops = [], []
+    for li, leg in enumerate(legs):
+        if leg == "W":
+            in_specs += [_shared_spec(W.shape) for W in operands[li:]]
+        else:
+            in_specs.append(_edge_spec(T, _leg_dim(plan, leg)))
+
+    if out_leg == "W":
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((g.fan_pad, g.cols), jnp.float32)
+            for g in plan.groups
+        )
+        out_specs = tuple(_shared_spec((g.fan_pad, g.cols)) for g in plan.groups)
+        scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
+        if not plan.fold_shared:
+            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
+        scratch += [
+            pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups
+        ]
+        scratch += [
+            pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups
+        ]
+        kernel = functools.partial(_W_leg_kernel, plan, T)
+    elif out_leg == "out":
+        out_shape = jax.ShapeDtypeStruct((E, plan.d_out), dtype)
+        out_specs = _edge_spec(T, plan.d_out)
+        scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
+        if not plan.fold_shared:
+            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
+        scratch += [
+            pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups
+        ]
+        # reuse the first-order forward kernel body (save_z=False)
+        kernel = functools.partial(_fwd_kernel, plan, T, False)
+    else:
+        out_shape = jax.ShapeDtypeStruct((E, _leg_dim(plan, out_leg)), dtype)
+        out_specs = _edge_spec(T, _leg_dim(plan, out_leg))
+        scratch = []
+        if out_leg != "x":
+            scratch.append(pltpu.VMEM((T, plan.d_x_al), dtype))
+        if not plan.fold_shared and out_leg != "w":
+            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
+        scratch += [
+            pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups
+        ]
+        scratch += [
+            pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups
+        ]
+        kernel = functools.partial(_edge_leg_kernel, plan, T, out_leg)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E // T,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        interpret=interpret,
+    )(n, *operands)
+
+
+# ------------------------------------------------------------------ primitives
+_leg_p = jex_core.Primitive("equiformer_dtplin_leg")  # out/x/sh/w variants
+_legW_p = jex_core.Primitive("equiformer_dtplin_legW")
+_legW_p.multiple_results = True
+
+
+def _leg_abstract(n, *ops, plan_id, out_leg, interpret):
+    plan, _ = _PLANS[plan_id]
+    E = ops[0].shape[0]
+    return jax.core.ShapedArray((E, _leg_dim(plan, out_leg)), ops[0].dtype)
+
+
+def _legW_abstract(n, *ops, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    return tuple(
+        jax.core.ShapedArray((g.fan_pad, g.cols), jnp.float32)
+        for g in plan.groups
+    )
+
+
+_leg_p.def_abstract_eval(_leg_abstract)
+_legW_p.def_abstract_eval(_legW_abstract)
+
+
+def _leg_impl(n, *ops, plan_id, out_leg, interpret):
+    plan, tile = _PLANS[plan_id]
+    return _leg_call(plan, tile, out_leg, interpret, n, *ops)
+
+
+def _legW_impl(n, *ops, plan_id, interpret):
+    plan, tile = _PLANS[plan_id]
+    return _leg_call(plan, tile, "W", interpret, n, *ops)
+
+
+_leg_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _leg_p))
+_legW_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _legW_p))
+mlir.register_lowering(_leg_p, mlir.lower_fun(_leg_impl, multiple_results=False))
+mlir.register_lowering(_legW_p, mlir.lower_fun(_legW_impl, multiple_results=True))
+
+
+def _bind(plan_id, out_leg, interpret, n, *ops):
+    if out_leg == "W":
+        return _legW_p.bind(n, *ops, plan_id=plan_id, interpret=interpret)
+    return _leg_p.bind(n, *ops, plan_id=plan_id, out_leg=out_leg,
+                       interpret=interpret)
+
+
+# --------------------------------------------------------------------- AD: JVP
+def _op_slots(plan, out_leg):
+    """Operand index ranges (past n) per leg: [(leg, start, stop)]."""
+    nG = len(plan.groups)
+    legs = _legs_of(plan, out_leg)
+    slots, i = [], 0
+    for leg in legs:
+        width = nG if leg == "W" else 1
+        slots.append((leg, i, i + width))
+        i += width
+    return slots, i
+
+
+def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    n, ops = primals[0], list(primals[1:])
+    tans = list(tangents[1:])
+    out = _bind(plan_id, out_leg, interpret, n, *ops)
+    slots, width = _op_slots(plan, out_leg)
+    assert width == len(ops)
+    tan_out = None
+
+    def add(a, b):
+        if a is None:
+            return b
+        if out_leg == "W":
+            return tuple(x + y for x, y in zip(a, b))
+        return a + b
+
+    for leg, s, e in slots:
+        ts = tans[s:e]
+        if all(type(t) is ad.Zero for t in ts):
+            continue
+        sub = list(ops)
+        sub[s:e] = [
+            jnp.zeros(op.shape, op.dtype) if type(t) is ad.Zero else t
+            for t, op in zip(ts, ops[s:e])
+        ]
+        tan_out = add(tan_out, _bind(plan_id, out_leg, interpret, n, *sub))
+    if tan_out is None:
+        if out_leg == "W":
+            tan_out = tuple(ad.Zero.from_primal_value(o) for o in out)
+        else:
+            tan_out = ad.Zero.from_primal_value(out)
+    return out, tan_out
+
+
+def _leg_jvp(primals, tangents, *, plan_id, out_leg, interpret):
+    return _jvp_common(out_leg, primals, tangents, plan_id, interpret)
+
+
+def _legW_jvp(primals, tangents, *, plan_id, interpret):
+    return _jvp_common("W", primals, tangents, plan_id, interpret)
+
+
+ad.primitive_jvps[_leg_p] = _leg_jvp
+ad.primitive_jvps[_legW_p] = _legW_jvp
+
+
+# --------------------------------------------------------------- AD: transpose
+def _transpose_common(out_leg, ct, n, ops, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    slots, _ = _op_slots(plan, out_leg)
+    undef = [
+        (leg, s, e) for leg, s, e in slots
+        if any(ad.is_undefined_primal(o) for o in ops[s:e])
+    ]
+    assert len(undef) == 1, f"one undefined leg expected, got {undef}"
+    t_leg, us, ue = undef[0]
+
+    # instantiate the output cotangent (the old out leg's operand value)
+    if out_leg == "W":
+        cts = [
+            jnp.zeros((g.fan_pad, g.cols), jnp.float32)
+            if type(c) is ad.Zero else c
+            for c, g in zip(ct, plan.groups)
+        ]
+        ct_ops = cts
+    else:
+        if type(ct) is ad.Zero:
+            return [None] * (1 + len(ops))
+        ct_ops = [ct]
+
+    # assemble the t_leg-variant's operands in canonical order
+    values = {out_leg: ct_ops}
+    for leg, s, e in slots:
+        if leg != t_leg:
+            values[leg] = list(ops[s:e])
+    new_ops = []
+    for leg in _legs_of(plan, t_leg):
+        new_ops += values[leg]
+    res = _bind(plan_id, t_leg, interpret, n, *new_ops)
+
+    # dW comes back fp32; cast to the undefined primal's dtype
+    if t_leg == "W":
+        res = [
+            r.astype(o.aval.dtype) for r, o in zip(res, ops[us:ue])
+        ]
+    else:
+        res = [res.astype(ops[us].aval.dtype)]
+    out = [None]  # n
+    for leg, s, e in slots:
+        if leg == t_leg:
+            out += res
+        else:
+            out += [None] * (e - s)
+    return out
+
+
+def _leg_transpose(ct, n, *ops, plan_id, out_leg, interpret):
+    return _transpose_common(out_leg, ct, n, ops, plan_id, interpret)
+
+
+def _legW_transpose(ct, n, *ops, plan_id, interpret):
+    return _transpose_common("W", ct, n, ops, plan_id, interpret)
+
+
+ad.primitive_transposes[_leg_p] = _leg_transpose
+ad.primitive_transposes[_legW_p] = _legW_transpose
+
+
+# ------------------------------------------------------------------ public op
+def auto_tile(plan: DTPLinPlan, start: int = 128) -> int:
+    """Shrink the edge tile until the VMEM scratch estimate fits (the L3
+    plans' z is ~9408 wide; same calibration as PallasDTP's auto-tile)."""
+    tile = start
+    zw = sum(g.ir.dim * (g.fan_pad + g.cols) for g in plan.groups)
+    width = plan.d_x_al + plan.d_w_al + plan.d_out + plan.d_x + plan.d_w + zw
+    while tile > 32 and tile * width * 4 > 8 * 2**20:
+        tile //= 2
+    return tile
+
+
+def make_fused_dtp_lin_ho(plan: DTPLinPlan, tile: Optional[int] = None,
+                          interpret: Optional[bool] = None):
+    """Arbitrary-order fused op with the make_fused_dtp_lin call signature:
+    ``call(x, sh, w, Ws, n_edges=None) -> out_flat``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile is None:
+        tile = auto_tile(plan, plan.tile)
+    T = tile
+    pid = _intern_plan(plan, T)
+
+    def call(x, sh, w, Ws, n_edges=None):
+        E = x.shape[0]
+        pad = (-E) % T
+        if plan.fold_shared:
+            Ws = plan.scale_shared_weights(w.astype(x.dtype), Ws)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            sh = jnp.pad(sh, ((0, pad), (0, 0)))
+            if not plan.fold_shared:
+                w = jnp.pad(w, ((0, pad), (0, 0)))
+        n = _n_scalar(n_edges, E)
+        ops = (x, sh) if plan.fold_shared else (x, sh, w)
+        out = _bind(pid, "out", interpret, n, *ops, *Ws)
+        return out[:E] if pad else out
+
+    return call

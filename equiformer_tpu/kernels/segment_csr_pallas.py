@@ -119,8 +119,7 @@ def _csr_call(val, dst2, tstart, K: int, interpret: bool):
     )(tstart, val, dst2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _csr_segment_sum_padded(val, dst, num_nodes: int, K: int, interpret: bool):
+def _csr_padded_impl(val, dst, num_nodes: int, K: int, interpret: bool):
     """val [E, C] (E % K == 0, C % 128 == 0), dst non-decreasing int32 [E].
     Returns [num_nodes_padded, C] with num_nodes_padded = round_up(num_nodes,
     128); rows past the real node count receive only edges the caller already
@@ -131,6 +130,11 @@ def _csr_segment_sum_padded(val, dst, num_nodes: int, K: int, interpret: bool):
     ).astype(jnp.int32)
     dst2 = dst.reshape(1, val.shape[0])
     return _csr_call(val, dst2, tstart, K, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _csr_segment_sum_padded(val, dst, num_nodes: int, K: int, interpret: bool):
+    return _csr_padded_impl(val, dst, num_nodes, K, interpret)
 
 
 def _csr_fwd(val, dst, num_nodes, K, interpret):
@@ -144,6 +148,20 @@ def _csr_bwd(num_nodes, K, interpret, dst, g):
 _csr_segment_sum_padded.defvjp(_csr_fwd, _csr_bwd)
 
 
+def _pad_and_call(padded_fn, val, dst, num_nodes, K, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    E, C = val.shape
+    Ep, Cp = _round_up(E, K), _round_up(C, LANE)
+    if Cp != C:
+        val = jnp.pad(val, ((0, 0), (0, Cp - C)))
+    if Ep != E:
+        val = jnp.pad(val, ((0, Ep - E), (0, 0)))
+        dst = jnp.pad(dst, (0, Ep - E), constant_values=num_nodes - 1)
+    out = padded_fn(val, dst.astype(jnp.int32), num_nodes, K, interpret)
+    return out[:num_nodes, :C]
+
+
 def csr_segment_sum(
     val: jnp.ndarray,
     dst: jnp.ndarray,
@@ -155,18 +173,23 @@ def csr_segment_sum(
     """Segment sum of ``val`` [E, C] by non-decreasing ``dst`` into
     ``num_nodes`` rows.  Pads E to the chunk size (pad edges get the last
     node id + zero values) and C to the lane width; masked edges are zeroed
-    before the kernel (identical to graph/segment.segment_sum)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    before the kernel (identical to graph/segment.segment_sum).  First-order
+    AD (custom_vjp gather backward); arbitrary-order callers go through
+    :func:`csr_segment_sum_impl` under graph/linear_prims' segsum primitive."""
     if mask is not None:
         val = jnp.where(mask[:, None], val, 0)
-    E, C = val.shape
-    Ep, Cp = _round_up(E, K), _round_up(C, LANE)
-    if Cp != C:
-        val = jnp.pad(val, ((0, 0), (0, Cp - C)))
-    if Ep != E:
-        val = jnp.pad(val, ((0, Ep - E), (0, 0)))
-        dst = jnp.pad(dst, (0, Ep - E), constant_values=num_nodes - 1)
-    out = _csr_segment_sum_padded(val, dst.astype(jnp.int32), num_nodes, K,
-                                  interpret)
-    return out[:num_nodes, :C]
+    return _pad_and_call(_csr_segment_sum_padded, val, dst, num_nodes, K,
+                         interpret)
+
+
+def csr_segment_sum_impl(
+    val: jnp.ndarray,
+    dst: jnp.ndarray,
+    num_nodes: int,
+    K: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """csr_segment_sum without the custom_vjp wrapper — the lowering body for
+    the arbitrary-order segsum primitive (graph/linear_prims.py), whose AD
+    rules live at the primitive level."""
+    return _pad_and_call(_csr_padded_impl, val, dst, num_nodes, K, interpret)

@@ -87,21 +87,21 @@ class DotProductAttention(nn.Module):
         q = vec2heads(head, H, q)
         q = scale_factor(head, q)
 
-        if self.higher_order_grads:
-            kv = (self.merge_src(node_input)[edges.src]
-                  + self.merge_dst(node_input)[edges.dst])
-        else:
-            kv = gather_add(
-                self.merge_src(node_input), self.merge_dst(node_input),
-                edges.src, edges.dst, num_nodes, rev=edges.rev,
-            )
+        kv = gather_add(
+            self.merge_src(node_input), self.merge_dst(node_input),
+            edges.src, edges.dst, num_nodes, rev=edges.rev,
+            higher_order=self.higher_order_grads,
+        )
         kv = self.key_value(kv, edge_attr=edge_attr, edge_scalars=edge_scalars,
                             n_edges=active_edge_bound(edges.mask))
         kv = vec2heads(head, 2 * H, kv)  # [E, 2H, head_dim]
         k = kv[:, :H, :]
         v = kv[:, H:, :]
 
-        alpha = jnp.einsum("ehk,ehk->eh", q[edges.dst], k)
+        from ..graph.linear_prims import take_rows
+
+        q_e = take_rows(q, edges.dst, t_ids=edges.dst, t_sorted=True)
+        alpha = jnp.einsum("ehk,ehk->eh", q_e, k)
         attn = softmax_dropout_combine(
             self, alpha, v, edges, num_nodes, self.alpha_drop,
             deterministic, self.higher_order_grads,

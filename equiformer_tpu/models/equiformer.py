@@ -150,14 +150,12 @@ class GraphAttention(nn.Module):
 
         msg_src = self.merge_src(node_input)
         msg_dst = self.merge_dst(node_input)
-        if self.higher_order_grads:
-            # force models double-backprop through the step; custom_vjp
-            # helpers only support first-order AD
-            message = msg_src[edges.src] + msg_dst[edges.dst]
-        else:
-            message = gather_add(
-                msg_src, msg_dst, edges.src, edges.dst, num_nodes, rev=edges.rev
-            )
+        # force models double-backprop through the step: higher_order routes
+        # the same sorted/rev-twin backward through arbitrary-order primitives
+        message = gather_add(
+            msg_src, msg_dst, edges.src, edges.dst, num_nodes, rev=edges.rev,
+            higher_order=self.higher_order_grads,
+        )
 
         n_edges = active_edge_bound(edges.mask)  # fused-kernel tile skipping
         if self.nonlinear_message:
@@ -378,12 +376,11 @@ class GraphAttentionTransformer(nn.Module):
             edges = radius_graph_dense(
                 pos, node_mask, graphs, self.max_radius, self.max_edges
             )
-            if not self.higher_order_grads:
-                # reverse-twin permutation -> sorted src-side backward
-                # scatters (first-order custom-vjp path only)
-                edges = edges._replace(
-                    rev=reverse_edge_perm_dense(edges, graphs, self.nodes_per_graph)
-                )
+            # reverse-twin permutation -> sorted src-side backward scatters
+            # (custom-vjp helpers first-order; linear_prims at any order)
+            edges = edges._replace(
+                rev=reverse_edge_perm_dense(edges, graphs, self.nodes_per_graph)
+            )
             return edges
         return radius_graph(pos, batch, node_mask, self.max_radius, self.max_edges)
 

@@ -124,14 +124,35 @@ def _fused_dtplin_enabled() -> bool:
 
 
 def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
-    """Build the fused DTP+linear op when supported, else None.  First-order
-    AD only (custom_vjp), so force models (higher_order_grads) keep the
-    primitive-composed kernels."""
-    if higher_order_grads or not (_pallas_enabled() and _fused_dtplin_enabled()):
+    """Build the fused DTP+linear op when supported, else None.
+
+    First-order models get the custom-vjp kernel (single fused backward,
+    save-z); force models (higher_order_grads) get the leg-primitive family
+    (kernels/dtp_lin_ho.py) whose JVP/transpose rules keep the fusion at
+    every AD order."""
+    if not (_pallas_enabled() and _fused_dtplin_enabled()):
         return None, None
     try:
         from ..kernels.dtp_lin_pallas import DTPLinPlan, make_fused_dtp_lin
 
+        if higher_order_grads:
+            import os
+
+            # separate opt-out for A/B benchmarking the force path
+            if os.environ.get("EQUIFORMER_TPU_FUSED_HO", "1") in ("0", "false"):
+                return None, None
+            from ..kernels.dtp_lin_ho import auto_tile, make_fused_dtp_lin_ho
+
+            fplan = DTPLinPlan(
+                plan,
+                head_irreps,
+                fold_rescale=not internal_weights,
+                shared_weights=internal_weights,
+                # force models differentiate through the SH of edge vectors
+                needs_dsh=True,
+                tile=128,
+            )
+            return fplan, make_fused_dtp_lin_ho(fplan, tile=auto_tile(fplan))
         # folded shared-weight kernels carry no w scratch, so a 256 tile fits
         # VMEM and measures fastest (tile_sweep.py); external-weight kernels
         # stay at 128 (256 exceeds VMEM)
@@ -141,8 +162,8 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
             head_irreps,
             fold_rescale=not internal_weights,
             shared_weights=internal_weights,
-            # this path only serves higher_order_grads=False models, which
-            # never differentiate wrt positions: skip the dsh transpose
+            # first-order models never differentiate wrt positions: skip the
+            # dsh transpose
             needs_dsh=False,
             tile=tile,
         )

@@ -57,6 +57,10 @@ def main():
         nonlinear_message=True,
         use_auxiliary_task=True,
         compute_dtype=None if args.fp32 else "bfloat16",
+        # deep configs don't fit HBM with full activation (+save-z residual)
+        # storage at batch 32: 18 blocks measured 34.5G vs 15.75G on v5e —
+        # rematerialize blocks like the reference's checkpointing would
+        remat=args.blocks > 8,
     )
 
     # learnable target: composition + geometry function with small noise

@@ -1,0 +1,155 @@
+"""Arbitrary-order fused DTP+linear (kernels/dtp_lin_ho.py) vs the unfused
+composition — values, first gradients, and grad-of-grad (the MD17/DeNS force
+pattern, reference graph_attention_transformer_md17.py:318-325), interpret
+mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equiformer_tpu.core import Irreps, depthwise_tp
+from equiformer_tpu.kernels.dtp_lin_pallas import DTPLinPlan
+from equiformer_tpu.kernels.dtp_lin_ho import make_fused_dtp_lin_ho
+from tests.test_dtp_lin import ALPHA_OUT, LIN_OUT, IRR, SH, TP, _data, _head_ws, _ref_lin
+
+E = 256
+
+
+def _pair(shared, heads):
+    plan = DTPLinPlan(TP, heads, fold_rescale=True, shared_weights=shared,
+                      needs_dsh=True)
+    fused = make_fused_dtp_lin_ho(plan, tile=128, interpret=True)
+    hws = [_head_ws(h, 10 + i) for i, h in enumerate(heads)]
+
+    def f_fused(x, sh, ww):
+        return plan.split_output(fused(x, sh, ww, plan.pack_weights(hws)))
+
+    def f_ref(x, sh, ww):
+        z = TP.apply(x, sh, ww if not shared else ww[None, :], scale_weights=True)
+        return [_ref_lin(z, h, hw) for h, hw in zip(heads, hws)]
+
+    return f_fused, f_ref
+
+
+@pytest.mark.parametrize(
+    "shared,heads",
+    [
+        (False, [LIN_OUT]),
+        (False, [LIN_OUT, ALPHA_OUT]),
+        (True, [LIN_OUT]),
+    ],
+    ids=["single", "two-head", "shared-w"],
+)
+def test_ho_fused_values_and_first_grads(shared, heads):
+    x, sh, w = _data()
+    ww = w[0] if shared else w
+    f_fused, f_ref = _pair(shared, heads)
+
+    for a, b in zip(f_fused(x, sh, ww), f_ref(x, sh, ww)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def loss(f):
+        return lambda *args: sum(jnp.sum(o**2) for o in f(*args))
+
+    gf = jax.grad(loss(f_fused), argnums=(0, 1, 2))(x, sh, ww)
+    gr = jax.grad(loss(f_ref), argnums=(0, 1, 2))(x, sh, ww)
+    for name, a, b in zip(("dx", "dsh", "dw"), gf, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4 * scale, err_msg=name
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shared", [False, True], ids=["edge-w", "shared-w"])
+def test_ho_fused_grad_of_grad(shared):
+    """The force-training pattern: an 'energy' reduces the fused output, the
+    'force' is its sh-and-x gradient (sh stands in for geometry), and the
+    training loss differentiates |force|^2 wrt x, w — grad-of-grad through
+    every leg kernel."""
+    x, sh, w = _data()
+    ww = w[0] if shared else w
+    f_fused, f_ref = _pair(shared, [LIN_OUT])
+
+    def make_loss(f):
+        def energy(x, sh, ww):
+            outs = f(x, sh, ww)
+            return jnp.sum(jnp.tanh(outs[0]))
+
+        def train_loss(x, sh, ww):
+            fx, fsh = jax.grad(energy, argnums=(0, 1))(x, sh, ww)
+            return jnp.sum(fx**2) + jnp.sum(fsh**2)
+
+        return train_loss
+
+    lf, lr = make_loss(f_fused), make_loss(f_ref)
+    np.testing.assert_allclose(float(lf(x, sh, ww)), float(lr(x, sh, ww)),
+                               rtol=1e-4)
+    gf = jax.grad(lf, argnums=(0, 2))(x, sh, ww)
+    gr = jax.grad(lr, argnums=(0, 2))(x, sh, ww)
+    for name, a, b in zip(("ddx", "ddw"), gf, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4 * scale, err_msg=name
+        )
+
+
+def test_ho_fused_padding_and_tile_skip():
+    """Non-multiple-of-tile edge counts + n_edges tile skipping: the padded
+    tail produces zero output and zero cotangents."""
+    x, sh, w = _data()
+    x, sh, w = x[:200], sh[:200], w[:200]
+    n_real = 150
+    mask = jnp.arange(200) < n_real
+    x = jnp.where(mask[:, None], x, 0)
+    sh = jnp.where(mask[:, None], sh, 0)
+    w = jnp.where(mask[:, None], w, 0)
+    plan = DTPLinPlan(TP, [LIN_OUT], fold_rescale=True, needs_dsh=True)
+    fused = make_fused_dtp_lin_ho(plan, tile=128, interpret=True)
+    hws = [_head_ws(LIN_OUT, 3)]
+    Ws = plan.pack_weights(hws)
+
+    out = fused(x, sh, w, Ws, n_edges=n_real)
+    z = TP.apply(x, sh, w, scale_weights=True)
+    ref = _ref_lin(z, LIN_OUT, hws[0])
+    ref = jnp.where(mask[:, None], ref, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss(x):
+        o = fused(x, sh, w, Ws, n_edges=n_real)
+        return jnp.sum(jnp.where(mask[:, None], o, 0) ** 2)
+
+    g = jax.grad(loss)(x)
+    def loss_ref(x):
+        z = TP.apply(x, sh, w, scale_weights=True)
+        o = _ref_lin(z, LIN_OUT, hws[0])
+        return jnp.sum(jnp.where(mask[:, None], o, 0) ** 2)
+
+    gr = jax.grad(loss_ref)(x)
+    scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4 * scale)
+
+
+def test_ho_fused_w_grad_through_folded_shared():
+    """Shared weights fold into W outside the kernel; dw must chain through
+    scale_shared_weights at second order too."""
+    x, sh, w = _data()
+    ww = w[0]
+    f_fused, f_ref = _pair(True, [LIN_OUT])
+
+    def make(f):
+        def energy(x, ww):
+            return jnp.sum(jnp.sin(f(x, sh, ww)[0]))
+
+        def tl(x, ww):
+            gx = jax.grad(energy, argnums=0)(x, ww)
+            return jnp.sum(gx**2)
+
+        return tl
+
+    gw_f = jax.grad(make(f_fused), argnums=1)(x, ww)
+    gw_r = jax.grad(make(f_ref), argnums=1)(x, ww)
+    scale = max(1.0, float(jnp.max(jnp.abs(gw_r))))
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               atol=5e-4 * scale)
