@@ -525,13 +525,20 @@ ad.primitive_transposes[_legW_p] = _legW_transpose
 
 
 # ------------------------------------------------------------------ public op
-def auto_tile(plan: DTPLinPlan, start: int = 128) -> int:
+def auto_tile(plan: DTPLinPlan, start: int = 128,
+              budget: int = 8 * 2**20) -> int:
     """Shrink the edge tile until the VMEM scratch estimate fits (the L3
-    plans' z is ~9408 wide; same calibration as PallasDTP's auto-tile)."""
+    plans' z is ~9408 wide; same calibration as PallasDTP's auto-tile).
+
+    ``budget`` anchors: the HO kernels use the 8M default; the first-order
+    kernel passes 9M, calibrated so the measured-good QM9 tiles survive
+    (folded-shared L2 at 256 = 8.15M estimate, on-chip OK) while the L3
+    external plan at 128 (10.7M estimate; observed 16.43M scoped-vmem OOM)
+    shrinks to 64."""
     tile = start
     zw = sum(g.ir.dim * (g.fan_pad + g.cols) for g in plan.groups)
     width = plan.d_x_al + plan.d_w_al + plan.d_out + plan.d_x + plan.d_w + zw
-    while tile > 32 and tile * width * 4 > 8 * 2**20:
+    while tile > 32 and tile * width * 4 > budget:
         tile //= 2
     return tile
 

@@ -155,7 +155,8 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
             return fplan, make_fused_dtp_lin_ho(fplan, tile=auto_tile(fplan))
         # folded shared-weight kernels carry no w scratch, so a 256 tile fits
         # VMEM and measures fastest (tile_sweep.py); external-weight kernels
-        # stay at 128 (256 exceeds VMEM)
+        # stay at 128 (256 exceeds VMEM); wide (L3) plans auto-shrink — the
+        # L3 external plan at tile 128 measured a 16.43M scoped-vmem OOM
         tile = 256 if internal_weights else 128
         fplan = DTPLinPlan(
             plan,
@@ -167,6 +168,9 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
             needs_dsh=False,
             tile=tile,
         )
+        from ..kernels.dtp_lin_ho import auto_tile
+
+        tile = auto_tile(fplan, tile, budget=9 * 2**20)
         return fplan, make_fused_dtp_lin(fplan, tile=tile)
     except (ValueError, AssertionError):
         return None, None
