@@ -152,7 +152,15 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
                 needs_dsh=True,
                 tile=128,
             )
-            return fplan, make_fused_dtp_lin_ho(fplan, tile=auto_tile(fplan))
+            # HO leg kernels carry no save-z output double-buffering, so
+            # wider tiles than the first-order kernel fit: budget 11M keeps
+            # tile 128 for the L3 plans (10.0-10.7M estimate, on-chip A/B
+            # 162.4 vs 155.8 g/s at 64) while the wider E3 variants (15.1M)
+            # still shrink to 64.  EQUIFORMER_TPU_HO_TILE overrides for A/Bs.
+            tile = int(os.environ.get("EQUIFORMER_TPU_HO_TILE", "0"))
+            return fplan, make_fused_dtp_lin_ho(
+                fplan, tile=tile or auto_tile(fplan, budget=11 * 2**20)
+            )
         # folded shared-weight kernels carry no w scratch, so a 256 tile fits
         # VMEM and measures fastest (tile_sweep.py); external-weight kernels
         # stay at 128 (256 exceeds VMEM); wide (L3) plans auto-shrink — the
