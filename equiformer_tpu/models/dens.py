@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from ..core.irreps import Irreps
 from ..core.spherical import spherical_harmonics_for_irreps
 from ..graph.batching import GraphsTuple
-from ..graph.radius_graph import edge_vectors, radius_graph
+from ..graph.radius_graph import (
+    edge_vectors,
+    radius_graph,
+    radius_graph_dense,
+    reverse_edge_perm_dense,
+)
 from ..graph.segment import scaled_scatter_sum
 from ..nn.activation import Activation
 from ..nn.dropout import EquivariantDropout
@@ -66,6 +71,8 @@ class EquiformerDeNS(nn.Module):
     avg_degree: float = _AVG_DEGREE
     max_edges: int = 8192
     use_force_encoding: bool = True
+    nodes_per_graph: int = 0  # >0: collate_dense layout, fast per-graph build
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; geometry stays fp32
 
     @nn.compact
     def __call__(self, graphs: GraphsTuple, deterministic: bool = True):
@@ -76,22 +83,35 @@ class EquiformerDeNS(nn.Module):
         num_graphs = graphs.graph_mask.shape[0]
         num_nodes = pos.shape[0]
 
-        edges = radius_graph(pos, batch, node_mask, self.max_radius, self.max_edges)
+        if self.nodes_per_graph > 0:
+            n_g = pos.shape[0] // self.nodes_per_graph
+            edges = radius_graph_dense(
+                pos, node_mask, n_g, self.max_radius, self.max_edges
+            )
+            edges = edges._replace(
+                rev=reverse_edge_perm_dense(edges, n_g, self.nodes_per_graph)
+            )
+        else:
+            edges = radius_graph(pos, batch, node_mask, self.max_radius, self.max_edges)
         edge_vec, edge_len = edge_vectors(pos, edges)
         edge_sh = spherical_harmonics_for_irreps(Irreps(self.irreps_sh), edge_vec)
+        feat_dtype = (
+            jnp.dtype(self.compute_dtype) if self.compute_dtype else pos.dtype
+        )
+        edge_sh = edge_sh.astype(feat_dtype)
 
         atom_emb, _ = NodeEmbedding(
             Irreps(self.irreps_node_embedding), self.max_atom_type, name="atom_embed"
-        )(graphs.species, dtype=pos.dtype)
+        )(graphs.species, dtype=feat_dtype)
         rbf = make_rbf(self.basis_type, self.number_of_basis, self.max_radius)
-        edge_scalars = rbf(edge_len)
+        edge_scalars = rbf(edge_len).astype(feat_dtype)
         fc = (self.number_of_basis,) + tuple(self.fc_neurons)
         edge_deg = EdgeDegreeEmbedding(
             Irreps(self.irreps_node_embedding), Irreps(self.irreps_sh),
             fc, self.avg_degree, name="edge_deg_embed",
         )(edge_sh, edge_scalars, edges.src, edges.dst, edges.mask, num_nodes)
         node_features = atom_emb + edge_deg
-        node_attr = jnp.ones((num_nodes, 1), pos.dtype)
+        node_attr = jnp.ones((num_nodes, 1), feat_dtype)
 
         # force encoding on corrupted atoms (equiformer_md17_dens.py:274-294)
         eq_in = Irreps(self.irreps_equivariant_inputs)
@@ -108,7 +128,7 @@ class EquiformerDeNS(nn.Module):
             force_sh = jnp.zeros((num_nodes, eq_in.dim), pos.dtype)
         node_features = node_features + IrrepsLinear(
             eq_in, Irreps(self.irreps_node_embedding), name="force_embed"
-        )(force_sh)
+        )(force_sh.astype(feat_dtype))
 
         for i in range(self.num_layers):
             out_irreps = (
@@ -152,6 +172,7 @@ class EquiformerDeNS(nn.Module):
         x = IrrepsLinear(feat_irreps, feat_scalars, name="energy_lin1")(node_features)
         x = Activation(feat_scalars, ["silu"])(x)
         x = IrrepsLinear(feat_scalars, Irreps("1x0e"), name="energy_lin2")(x)
+        x = x.astype(pos.dtype)  # accumulate the readout in fp32
         if not self.use_force_encoding and "denoising_pos_mask" in graphs.extras:
             # ablation: no denoising-energy prediction (:313-315)
             x = jnp.where(graphs.extras["denoising_pos_mask"][:, None], 0.0, x)
@@ -177,7 +198,7 @@ class EquiformerDeNS(nn.Module):
             name="denoising_pos_head",
         )(node_features, node_attr, edges, edge_sh, edge_scalars,
           deterministic=deterministic)
-        return energy, denoising_pos
+        return energy, denoising_pos.astype(pos.dtype)
 
 
 def dens_outputs(

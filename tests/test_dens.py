@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from equiformer_tpu.core import Irreps
 from equiformer_tpu.core.rotations import random_rotation
@@ -147,3 +148,49 @@ def test_dens_registry():
     m = model_entrypoint("equiformer_md17_dens")(max_edges=128)
     assert str(m.irreps_feature) == "512x0e+256x1e+128x2e"
     assert m.nonlinear_message
+
+
+@pytest.mark.slow
+def test_dens_dense_layout_matches_flat():
+    """nodes_per_graph>0 (collate_dense fast graph build + rev twins) produces
+    the same outputs as the flat radius_graph path."""
+    data = md17_like_dataset(2, num_atoms=9, seed=31)
+    loader = GraphLoader(
+        data, batch_size=2, node_capacity=18, shuffle=False, dense_slots=9,
+        with_forces=True,
+    )
+    b = next(iter(loader))
+    flat = _tiny_dens()
+    dense = _tiny_dens(nodes_per_graph=9)
+    params = flat.init(jax.random.PRNGKey(0), b, deterministic=True)
+    ef, df = flat.apply(params, b, deterministic=True)
+    ed, dd = dense.apply(params, b, deterministic=True)
+    np.testing.assert_allclose(np.asarray(ed), np.asarray(ef), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(df), rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_dens_bf16_compute_dtype_finite():
+    """compute_dtype='bfloat16': fp32 outputs, finite energy/forces/denoising
+    and a finite double-backward training step."""
+    model = _tiny_dens(nodes_per_graph=9, compute_dtype="bfloat16")
+    data = md17_like_dataset(4, num_atoms=9, seed=32)
+    loader = GraphLoader(
+        data, batch_size=4, node_capacity=36, shuffle=False, dense_slots=9,
+        with_forces=True,
+    )
+    b = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    e, dy = model.apply(params, b, deterministic=True)
+    assert e.dtype == b.pos.dtype and dy.dtype == b.pos.dtype
+    assert np.all(np.isfinite(np.asarray(e))) and np.all(np.isfinite(np.asarray(dy)))
+    opt = create_optimizer(
+        cosine_warmup_schedule(1e-3, 2, 100), weight_decay=1e-6, grad_clip_norm=100.0
+    )
+    train_step, _ = make_dens_steps(
+        model, opt, 0.0, 1.0, energy_weight=1.0, force_weight=10.0,
+        denoising_pos_std=0.05, denoising_pos_prob=0.5,
+    )
+    state = TrainState.create(params, opt)
+    state, m = jax.jit(train_step)(state, b, jax.random.PRNGKey(3), jnp.asarray(0.5))
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["grad_norm"]))
