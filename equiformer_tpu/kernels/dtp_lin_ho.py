@@ -286,9 +286,18 @@ def _leg_dim(plan: DTPLinPlan, leg: str) -> int:
     return {"out": plan.d_out, "x": plan.d_x, "sh": plan.d_sh, "w": plan.d_w}[leg]
 
 
-def _leg_call(plan: DTPLinPlan, T: int, out_leg: str, interpret: bool,
+def _t_eff(tile: int, dtype) -> int:
+    """VMEM scratch scales with bytes-per-element: tiles are calibrated for
+    bf16 (see nn/tp_modules._make_fused_plan); wider dtypes halve the tile."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return tile
+    return max(32, tile // 2)
+
+
+def _leg_call(plan: DTPLinPlan, tile: int, out_leg: str, interpret: bool,
               n, *operands):
     nG = len(plan.groups)
+    T = _t_eff(tile, operands[0].dtype)
     legs = _legs_of(plan, out_leg)
     E = operands[0].shape[0]
     dtype = operands[0].dtype
@@ -556,7 +565,7 @@ def make_fused_dtp_lin_ho(plan: DTPLinPlan, tile: Optional[int] = None,
 
     def call(x, sh, w, Ws, n_edges=None):
         E = x.shape[0]
-        pad = (-E) % T
+        pad = (-E) % _t_eff(T, x.dtype)
         if plan.fold_shared:
             Ws = plan.scale_shared_weights(w.astype(x.dtype), Ws)
         if pad:

@@ -738,17 +738,26 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
         interpret = jax.default_backend() != "tpu"
     if save_z is None:
         save_z = _save_z_default()
-    T = tile
     nG = len(plan.groups)
 
-    def w_spec(E):
+    def _t_eff(dtype):
+        # VMEM scratch scales with bytes-per-element: the tuned tiles are
+        # calibrated for bf16; fp32 (profile runs, --fp32) halves the tile —
+        # the folded-shared backward at tile 256 fp32 measured a 16.33M
+        # scoped-vmem OOM on v5e
+        if jnp.dtype(dtype) == jnp.bfloat16:
+            return tile
+        return max(32, tile // 2)
+
+    def w_spec(E, T):
         # shared weights always ride the folded path; here w is per-edge
         return pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0))
 
-    z_specs = tuple(
-        pl.BlockSpec((g.ir.dim * T, g.fan_pad), lambda i, *_: (i, 0))
-        for g in plan.groups
-    )
+    def z_specs(T):
+        return tuple(
+            pl.BlockSpec((g.ir.dim * T, g.fan_pad), lambda i, *_: (i, 0))
+            for g in plan.groups
+        )
 
     def z_shapes(E, dtype):
         return tuple(
@@ -758,6 +767,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
 
     def fwd_call(x, sh, w, Ws, n):
         E = x.shape[0]
+        T = _t_eff(x.dtype)
         if plan.fold_shared:
             in_specs = [
                 pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
@@ -769,7 +779,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
             in_specs = [
                 pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
                 pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
-                w_spec(E),
+                w_spec(E, T),
             ] + [_shared_spec(W.shape) for W in Ws]
             w_scratch = [pltpu.VMEM((T, plan.d_w_al), x.dtype)]
             operands = (x, sh, w) + tuple(Ws)
@@ -777,7 +787,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
         out_specs = pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0))
         if save_z:
             out_shape = (out_shape,) + z_shapes(E, x.dtype)
-            out_specs = (out_specs,) + z_specs
+            out_specs = (out_specs,) + z_specs(T)
             z_scratch = []
         else:
             z_scratch = [
@@ -801,6 +811,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
     def bwd_call(x, sh, w, Ws, g, zs, n):
         E = g.shape[0]
         dtype = g.dtype
+        T = _t_eff(dtype)
         has_x = _bwd_needs_x(plan, save_z)
         z_scratch = [] if save_z else [
             pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
@@ -824,14 +835,14 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
         in_specs.append(pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)))
         operands.append(sh)
         if not plan.fold_shared:
-            in_specs.append(w_spec(E))
+            in_specs.append(w_spec(E, T))
             operands.append(w)
         in_specs += [_shared_spec(W.shape) for W in Ws]
         operands += list(Ws)
         in_specs.append(pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)))
         operands.append(g)
         if save_z:
-            in_specs += list(z_specs)
+            in_specs += list(z_specs(T))
             operands += list(zs)
 
         out_shape = [
@@ -895,7 +906,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
         def call(x, sh, w, Ws, n_edges=None):
             """Fold the shared w into the packed weights, pad, run, unpad."""
             E = x.shape[0]
-            pad = (-E) % T
+            pad = (-E) % _t_eff(x.dtype)
             Ws = plan.scale_shared_weights(w.astype(x.dtype), Ws)
             if pad:
                 x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -929,7 +940,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
     def call(x, sh, w, Ws, n_edges=None):
         """Pad edges to the tile, run, unpad."""
         E = x.shape[0]
-        pad = (-E) % T
+        pad = (-E) % _t_eff(x.dtype)
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0)))
             sh = jnp.pad(sh, ((0, pad), (0, 0)))
