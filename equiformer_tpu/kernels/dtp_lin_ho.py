@@ -277,6 +277,83 @@ def _W_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
             )
 
 
+def _bwd3_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
+    """Combined edge-leg backward: (dx, dsh[, dw]) in ONE pass — one dz
+    MXU phase instead of three (the x/sh/w leg kernels each recompute
+    ``dz = g @ W^T``).  Same math as three leg kernels; used by the
+    consolidated F_edge3 transpose."""
+    nG = len(plan.groups)
+    it = iter(refs)
+    g_ref = next(it)
+    x_ref = next(it)
+    sh_ref = next(it)
+    w_ref = None if plan.fold_shared else next(it)
+    W_refs = [next(it) for _ in range(nG)]
+    dx_ref = next(it)
+    dsh_ref = next(it)
+    dw_ref = None if plan.fold_shared else next(it)
+    x_al = next(it)
+    w_al = None if plan.fold_shared else next(it)
+    dz_scr = [next(it) for _ in range(nG)]
+    g_scr = [next(it) for _ in range(nG)]
+    assert next(it, None) is None
+
+    active = pl.program_id(0) * T < n_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dsh_ref[:] = jnp.zeros_like(dsh_ref)
+        if dw_ref is not None:
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(active)
+    def _():
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        _gm_fill(plan, T, g_ref, g_scr)
+        _dz_phase(plan, T, W_refs, g_scr, dz_scr)
+        cols = sh_ref[:]
+        dx_acc, dw_acc, dsh_acc = {}, {}, {}
+        colcache, dzcache = {}, {}
+        for t, (gi, k, fc) in plan._terms:
+            xs, mul, p = plan.x_slots[t.a_off]
+            r = T // p
+            lanes = LANE if p == 1 else p * mul
+            dz = _dz_slice(plan, dz_scr, dzcache, gi, k, fc, p, mul, T)
+            cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
+            xv = x_al[:r, xs : xs + lanes]
+            cdz = (t.coeff * cp) * dz
+            if plan.fold_shared:
+                dx_acc[xs] = dx_acc.get(xs, 0.0) + cdz
+                dsh_acc[(t.col_off, p, mul)] = (
+                    dsh_acc.get((t.col_off, p, mul), 0.0) + t.coeff * (xv * dz)
+                )
+            else:
+                ws, _, _ = plan.w_slots[t.b_off]
+                wv = w_al[:r, ws : ws + lanes]
+                dx_acc[xs] = dx_acc.get(xs, 0.0) + cdz * wv
+                dw_acc[ws] = dw_acc.get(ws, 0.0) + cdz * xv
+                dsh_acc[(t.col_off, p, mul)] = (
+                    dsh_acc.get((t.col_off, p, mul), 0.0)
+                    + t.coeff * (xv * (wv * dz))
+                )
+        _write_sloted(plan, plan.x_slots, dx_acc, dx_ref, T)
+        dsh_ref[:] = jnp.zeros_like(dsh_ref)
+        for (j, p, mul), a in dsh_acc.items():
+            if p == 1:
+                dsh_ref[:, j : j + 1] += jnp.sum(
+                    a, axis=1, keepdims=True
+                ).astype(dsh_ref.dtype)
+            else:
+                r = T // p
+                for g in range(p):
+                    dsh_ref[g * r : (g + 1) * r, j : j + 1] += jnp.sum(
+                        a[:, g * mul : (g + 1) * mul], axis=1, keepdims=True
+                    ).astype(dsh_ref.dtype)
+        if dw_ref is not None:
+            _write_sloted(plan, plan.w_slots, dw_acc, dw_ref, T)
+
+
 # ---------------------------------------------------------------- pallas calls
 def _edge_spec(T, d):
     return pl.BlockSpec((T, d), lambda i, *_: (i, 0))
@@ -365,10 +442,70 @@ def _leg_call(plan: DTPLinPlan, tile: int, out_leg: str, interpret: bool,
     )(n, *operands)
 
 
+def _bwd3_pallas(plan: DTPLinPlan, tile: int, interpret: bool, n, *operands):
+    """(g, x, sh, [w], W*) -> (dx, dsh[, dw]) via the combined kernel.
+
+    Carries THREE edge outputs plus both align scratches, so its footprint
+    exceeds any single-leg kernel: shrink the tile by its own width estimate
+    (L3 at tile 128 measured an 18.52M scoped-vmem OOM; 64 fits)."""
+    nG = len(plan.groups)
+    T = _t_eff(tile, operands[0].dtype)
+    zw = sum(g.ir.dim * g.fan_pad for g in plan.groups)
+    zc = sum(g.ir.dim * g.cols for g in plan.groups)
+    width3 = (plan.d_x_al + plan.d_w_al + plan.d_out
+              + 2 * (plan.d_x + plan.d_sh + plan.d_w) + zw + zc)
+    while T > 32 and T * width3 * 4 > 11 * 2**20:
+        T //= 2
+    E = operands[0].shape[0]
+    dtype = operands[0].dtype
+    in_specs = [
+        _edge_spec(T, plan.d_out),
+        _edge_spec(T, plan.d_x),
+        _edge_spec(T, plan.d_sh),
+    ]
+    if not plan.fold_shared:
+        in_specs.append(_edge_spec(T, plan.d_w))
+    in_specs += [_shared_spec(W.shape) for W in operands[len(in_specs):]]
+    out_shape = [
+        jax.ShapeDtypeStruct((E, plan.d_x), dtype),
+        jax.ShapeDtypeStruct((E, plan.d_sh), dtype),
+    ]
+    out_specs = [_edge_spec(T, plan.d_x), _edge_spec(T, plan.d_sh)]
+    if not plan.fold_shared:
+        out_shape.append(jax.ShapeDtypeStruct((E, plan.d_w), dtype))
+        out_specs.append(_edge_spec(T, plan.d_w))
+    scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
+    if not plan.fold_shared:
+        scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
+    scratch += [pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups]
+    scratch += [pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups]
+    return pl.pallas_call(
+        functools.partial(_bwd3_kernel, plan, T),
+        out_shape=tuple(out_shape),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E // T,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
+        interpret=interpret,
+    )(n, *operands)
+
+
 # ------------------------------------------------------------------ primitives
 _leg_p = jex_core.Primitive("equiformer_dtplin_leg")  # out/x/sh/w variants
 _legW_p = jex_core.Primitive("equiformer_dtplin_legW")
 _legW_p.multiple_results = True
+# consolidated edge-tangent pair:
+#   F_edge3(x0, sh0, [w0], W0*, dx, dsh, [dw]) =
+#     F(dx, sh0, [w0], W0) + F(x0, dsh, [w0], W0) [+ F(x0, sh0, dw, W0)]
+#   (jointly multilinear — every operand appears linearly in the sum), and
+#   its transpose wrt the tangent block, one fused kernel instead of three:
+#   F_bwd3(g, x0, sh0, [w0], W0*) -> (dx_ct, dsh_ct[, dw_ct])
+_edge3_p = jex_core.Primitive("equiformer_dtplin_edge3")
+_bwd3_p = jex_core.Primitive("equiformer_dtplin_bwd3")
+_bwd3_p.multiple_results = True
 
 
 def _leg_abstract(n, *ops, plan_id, out_leg, interpret):
@@ -412,6 +549,63 @@ def _bind(plan_id, out_leg, interpret, n, *ops):
                        interpret=interpret)
 
 
+# F_edge3 operand layout (past n): primal legs in canonical order (x0, sh0,
+# [w0], W0*), then tangent legs (dx, dsh[, dw]).
+def _edge3_abstract(n, *ops, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    return jax.core.ShapedArray((ops[0].shape[0], plan.d_out), ops[0].dtype)
+
+
+def _edge3_split(plan, ops):
+    nG = len(plan.groups)
+    ne = 2 if plan.fold_shared else 3  # edge primals / tangents
+    prim_edge = ops[:ne]
+    Ws = ops[ne : ne + nG]
+    tans = ops[ne + nG :]
+    assert len(tans) == ne
+    return prim_edge, Ws, tans
+
+
+def _edge3_impl(n, *ops, plan_id, interpret):
+    plan, tile = _PLANS[plan_id]
+    prim, Ws, tans = _edge3_split(plan, ops)
+    out = None
+    for i, t in enumerate(tans):
+        sub = list(prim)
+        sub[i] = t
+        o = _leg_call(plan, tile, "out", interpret, n, *sub, *Ws)
+        out = o if out is None else out + o
+    return out
+
+
+_edge3_p.def_abstract_eval(_edge3_abstract)
+_edge3_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _edge3_p))
+mlir.register_lowering(_edge3_p, mlir.lower_fun(_edge3_impl, multiple_results=False))
+
+
+def _bwd3_abstract(n, *ops, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    E = ops[0].shape[0]
+    dt = ops[0].dtype
+    shapes = [
+        jax.core.ShapedArray((E, plan.d_x), dt),
+        jax.core.ShapedArray((E, plan.d_sh), dt),
+    ]
+    if not plan.fold_shared:
+        shapes.append(jax.core.ShapedArray((E, plan.d_w), dt))
+    return tuple(shapes)
+
+
+def _bwd3_impl(n, *ops, plan_id, interpret):
+    plan, tile = _PLANS[plan_id]
+    return _bwd3_pallas(plan, tile, interpret, n, *ops)
+
+
+_bwd3_p.def_abstract_eval(_bwd3_abstract)
+_bwd3_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _bwd3_p))
+mlir.register_lowering(_bwd3_p, mlir.lower_fun(_bwd3_impl, multiple_results=True))
+
+
 # --------------------------------------------------------------------- AD: JVP
 def _op_slots(plan, out_leg):
     """Operand index ranges (past n) per leg: [(leg, start, stop)]."""
@@ -441,7 +635,36 @@ def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
             return tuple(x + y for x, y in zip(a, b))
         return a + b
 
+    handled = set()
+    if out_leg == "out":
+        # group the edge-leg tangents (x, sh, w) into ONE F_edge3 bind when
+        # at least two are live: its transpose is a single fused kernel (one
+        # dz MXU phase) instead of 2-3 separate leg kernels — the dominant
+        # saving in the force pass, where x, sh AND w all carry pos tangents
+        edge_slots = [(leg, s, e) for leg, s, e in slots if leg != "W"]
+        live = [
+            (leg, s) for leg, s, e in edge_slots
+            if type(tans[s]) is not ad.Zero
+        ]
+        if len(live) >= 2:
+            nG = len(plan.groups)
+            Ws = ops[len(edge_slots) : len(edge_slots) + nG]
+            edge_prims = [ops[s] for _, s, _ in edge_slots]
+            edge_tans = [
+                jnp.zeros(ops[s].shape, ops[s].dtype)
+                if type(tans[s]) is ad.Zero else tans[s]
+                for _, s, _ in edge_slots
+            ]
+            tan_out = add(
+                tan_out,
+                _edge3_p.bind(n, *edge_prims, *Ws, *edge_tans,
+                              plan_id=plan_id, interpret=interpret),
+            )
+            handled = {leg for leg, _, _ in edge_slots}
+
     for leg, s, e in slots:
+        if leg in handled:
+            continue
         ts = tans[s:e]
         if all(type(t) is ad.Zero for t in ts):
             continue
@@ -469,6 +692,104 @@ def _legW_jvp(primals, tangents, *, plan_id, interpret):
 
 ad.primitive_jvps[_leg_p] = _leg_jvp
 ad.primitive_jvps[_legW_p] = _legW_jvp
+
+
+def _edge3_jvp(primals, tangents, *, plan_id, interpret):
+    # F_edge3 is jointly multilinear: every operand appears linearly in the
+    # sum, so the tangent is the same bind with one slot substituted per term
+    n, ops = primals[0], list(primals[1:])
+    tans = list(tangents[1:])
+    out = _edge3_p.bind(n, *ops, plan_id=plan_id, interpret=interpret)
+    tan_out = None
+    for i, t in enumerate(tans):
+        if type(t) is ad.Zero:
+            continue
+        sub = list(ops)
+        sub[i] = t
+        term = _edge3_p.bind(n, *sub, plan_id=plan_id, interpret=interpret)
+        tan_out = term if tan_out is None else tan_out + term
+    if tan_out is None:
+        tan_out = ad.Zero.from_primal_value(out)
+    return out, tan_out
+
+
+def _edge3_transpose(ct, n, *ops, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    nG = len(plan.groups)
+    ne = 2 if plan.fold_shared else 3
+    prim = ops[:ne]
+    Ws = ops[ne : ne + nG]
+    tans = ops[ne + nG :]
+    assert not any(ad.is_undefined_primal(o) for o in (*prim, *Ws)), (
+        "F_edge3 primal legs are residuals; only the tangent block transposes"
+    )
+    if type(ct) is ad.Zero:
+        return [None] * (1 + len(ops))
+    outs = _bwd3_p.bind(n, ct, *prim, *Ws, plan_id=plan_id,
+                        interpret=interpret)
+    res = [None] * (1 + ne + nG)
+    for i, t in enumerate(tans):
+        res.append(outs[i] if ad.is_undefined_primal(t) else None)
+    return res
+
+
+def _bwd3_jvp(primals, tangents, *, plan_id, interpret):
+    """Per-output tangents via leg binds: dx = F_x(g, sh, [w], W) etc. — each
+    output is multilinear in its own dependency set (dx is degree-0 in x, so
+    whole-primitive substitution would be wrong)."""
+    plan, _ = _PLANS[plan_id]
+    n, ops = primals[0], list(primals[1:])
+    tans = list(tangents[1:])
+    outs = _bwd3_p.bind(n, *ops, plan_id=plan_id, interpret=interpret)
+    nG = len(plan.groups)
+    if plan.fold_shared:
+        g, x, sh = ops[:3]
+        Ws = ops[3:]
+        tg, tx, tsh = tans[:3]
+        tWs = tans[3:]
+        deps = {  # output -> (leg, operand list, tangent list)
+            0: ("x", [g, sh, *Ws], [tg, tsh] + tWs, [0, 1]),
+            1: ("sh", [g, x, *Ws], [tg, tx] + tWs, [0, 1]),
+        }
+    else:
+        g, x, sh, w = ops[:4]
+        Ws = ops[4:]
+        tg, tx, tsh, tw = tans[:4]
+        tWs = tans[4:]
+        deps = {
+            0: ("x", [g, sh, w, *Ws], [tg, tsh, tw] + tWs, [0, 1, 2]),
+            1: ("sh", [g, x, w, *Ws], [tg, tx, tw] + tWs, [0, 1, 2]),
+            2: ("w", [g, x, sh, *Ws], [tg, tx, tsh] + tWs, [0, 1, 2]),
+        }
+    tan_outs = []
+    for oi, (leg, lops, ltans, _) in deps.items():
+        acc = None
+        for i, t in enumerate(ltans):
+            if type(t) is ad.Zero:
+                continue
+            sub = list(lops)
+            sub[i] = t
+            term = _bind(plan_id, leg, interpret, n, *sub)
+            acc = term if acc is None else acc + term
+        tan_outs.append(
+            acc if acc is not None else ad.Zero.from_primal_value(outs[oi])
+        )
+    return outs, tuple(tan_outs)
+
+
+def _bwd3_transpose(ct, n, *ops, plan_id, interpret):
+    raise NotImplementedError(
+        "F_bwd3 appears only as a primal (residual) computation; reverse "
+        "passes differentiate it through its JVP (leg binds), which have "
+        "their own transposes.  Hitting this means a >2nd-order reverse "
+        "composed it linearly — use the per-leg primitives instead."
+    )
+
+
+ad.primitive_jvps[_edge3_p] = _edge3_jvp
+ad.primitive_jvps[_bwd3_p] = _bwd3_jvp
+ad.primitive_transposes[_edge3_p] = _edge3_transpose
+ad.primitive_transposes[_bwd3_p] = _bwd3_transpose
 
 
 # --------------------------------------------------------------- AD: transpose

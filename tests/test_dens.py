@@ -80,6 +80,7 @@ def test_noise_augmentation_semantics():
     assert np.allclose(f[~nm2], 0.0)
 
 
+@pytest.mark.slow
 def test_dens_outputs_mixing_and_equivariance():
     model = _tiny_dens()
     b = add_masked_gaussian_noise(_batch(), jax.random.PRNGKey(1), std=0.05, prob=0.5)
@@ -119,6 +120,7 @@ def test_dens_without_noise_returns_plain_forces():
     assert abs(fd - float(f[i, k])) < 1e-5
 
 
+@pytest.mark.slow
 def test_dens_training_step():
     model = _tiny_dens()
     data = md17_like_dataset(4, num_atoms=9, seed=9)

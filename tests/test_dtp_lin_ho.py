@@ -35,7 +35,9 @@ def _pair(shared, heads):
 @pytest.mark.parametrize(
     "shared,heads",
     [
-        (False, [LIN_OUT]),
+        # 'single' is subsumed by 'two-head' coverage-wise; keep it in the
+        # slow tier (the fast suite runs on ONE cpu core)
+        pytest.param(False, [LIN_OUT], marks=pytest.mark.slow),
         (False, [LIN_OUT, ALPHA_OUT]),
         (True, [LIN_OUT]),
     ],

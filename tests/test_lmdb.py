@@ -111,6 +111,7 @@ def test_oc20_lmdb_multifile_index(tmp_path):
     np.testing.assert_array_equal(ds[6]["species"], data[6]["species"])
 
 
+@pytest.mark.slow
 def test_oc20_lmdb_train_step(tmp_path):
     """VERDICT round-1 item 5 done-criterion: create an LMDB with synthetic
     IS2RE records and train one step through OC20LmdbDataset."""

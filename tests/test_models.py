@@ -95,6 +95,7 @@ def test_padding_independence():
     assert np.max(np.abs(out_s - out_l)) < 1e-8
 
 
+@pytest.mark.slow
 def test_gradients_finite():
     model = _tiny_model(nonlinear_message=True)
     b = _batch()
@@ -130,6 +131,7 @@ def test_registry_entrypoints():
     assert model.nonlinear_message is True
 
 
+@pytest.mark.slow
 def test_e3_variant_forward():
     model = model_entrypoint("graph_attention_transformer_nonlinear_l2_e3")(
         radius=2.5, num_basis=8, max_edges=256
@@ -164,6 +166,7 @@ def test_dot_product_attention_model():
     assert m.attn_type == "dot"
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype():
     model = _tiny_model(compute_dtype="bfloat16", alpha_drop=0.0, proj_drop=0.0,
                         drop_path_rate=0.0)

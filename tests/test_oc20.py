@@ -330,6 +330,7 @@ def test_save_results_merge(tmp_path):
     assert not os.path.exists(os.path.join(d, "is2re_predictions_1.npz"))
 
 
+@pytest.mark.slow
 def test_oc20_cli_registry_dispatch(tmp_path):
     """End-to-end: the CLI resolves trainer + task via the registry, trains a
     synthetic epoch, and predict writes a merged npz with ids."""

@@ -97,6 +97,7 @@ def test_train_loss_decreases():
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_and_runs():
     """8-virtual-device DP step: replicated state stays in sync, loss finite."""
     n_dev = len(jax.devices())
