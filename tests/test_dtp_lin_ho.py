@@ -155,3 +155,20 @@ def test_ho_fused_w_grad_through_folded_shared():
     scale = max(1.0, float(jnp.max(jnp.abs(gw_r))))
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                atol=5e-4 * scale)
+
+
+def test_ho_fused_forward_mode_jvp():
+    """jax.jvp through the fused op with simultaneous x/sh/w tangents — this
+    executes the grouped F_edge3 primitive's own lowering (reverse passes
+    only ever transpose it)."""
+    x, sh, w = _data()
+    f_fused, f_ref = _pair(False, [LIN_OUT])
+    tx = x * 0.3 + 0.1
+    tsh = sh * 0.2 - 0.05
+    tw = w * 0.1 + 0.02
+    of, tf = jax.jvp(lambda *a: f_fused(*a)[0], (x, sh, w), (tx, tsh, tw))
+    orf, trf = jax.jvp(lambda *a: f_ref(*a)[0], (x, sh, w), (tx, tsh, tw))
+    np.testing.assert_allclose(np.asarray(of), np.asarray(orf), atol=2e-5)
+    scale = max(1.0, float(jnp.max(jnp.abs(trf))))
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(trf),
+                               atol=3e-4 * scale)
