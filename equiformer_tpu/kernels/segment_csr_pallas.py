@@ -103,8 +103,8 @@ def _csr_call(val, dst2, tstart, K: int, interpret: bool):
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # val stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # dst [1, E]
+                pl.BlockSpec(memory_space=pl.ANY),  # val stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # dst [1, E]
             ],
             out_specs=pl.BlockSpec((LANE, C), lambda i, *_: (i, 0)),
             scratch_shapes=[

@@ -144,7 +144,7 @@ def test_segment_sum_higher_order_csr_interpret(monkeypatch):
     )
     g1 = jax.grad(lambda v: jnp.sum(jax.grad(f_csr)(v) ** 2))(v0)
     g2 = jax.grad(lambda v: jnp.sum(jax.grad(f_plain)(v) ** 2))(v0)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("order", [1, 2])
