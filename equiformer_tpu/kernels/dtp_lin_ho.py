@@ -619,6 +619,14 @@ def _op_slots(plan, out_leg):
     return slots, i
 
 
+def _edge3_enabled() -> bool:
+    """Grouped edge-tangent transpose (one F_bwd3 kernel instead of 2-3 leg
+    kernels); on by default, EQUIFORMER_TPU_EDGE3=0 for A/B benchmarking."""
+    import os
+
+    return os.environ.get("EQUIFORMER_TPU_EDGE3", "1") not in ("0", "false")
+
+
 def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
     plan, _ = _PLANS[plan_id]
     n, ops = primals[0], list(primals[1:])
@@ -636,7 +644,7 @@ def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
         return a + b
 
     handled = set()
-    if out_leg == "out":
+    if out_leg == "out" and _edge3_enabled():
         # group the edge-leg tangents (x, sh, w) into ONE F_edge3 bind when
         # at least two are live: its transpose is a single fused kernel (one
         # dz MXU phase) instead of 2-3 separate leg kernels — the dominant

@@ -172,3 +172,33 @@ def test_ho_fused_forward_mode_jvp():
     scale = max(1.0, float(jnp.max(jnp.abs(trf))))
     np.testing.assert_allclose(np.asarray(tf), np.asarray(trf),
                                atol=3e-4 * scale)
+
+
+def test_edge3_consolidation_shrinks_backward(monkeypatch):
+    """Structural check (no hardware needed): with the grouped F_edge3 JVP,
+    the force-pass jaxpr carries ONE combined bwd3 eqn per fused op instead
+    of 2-3 separate leg eqns, and values/grads are unchanged."""
+    x, sh, w = _data()
+
+    def counts(flag):
+        monkeypatch.setenv("EQUIFORMER_TPU_EDGE3", flag)
+        f_fused, _ = _pair(False, [LIN_OUT])
+
+        def energy(x, sh, w):
+            return jnp.sum(jnp.tanh(f_fused(x, sh, w)[0]))
+
+        force = jax.grad(energy, argnums=(0, 1, 2))
+        jaxpr = jax.make_jaxpr(force)(x, sh, w)
+        names = [str(e.primitive) for e in jaxpr.jaxpr.eqns]
+        g = force(x, sh, w)
+        return names, g
+
+    on_names, g_on = counts("1")
+    off_names, g_off = counts("0")
+    assert on_names.count("equiformer_dtplin_bwd3") == 1
+    assert on_names.count("equiformer_dtplin_leg") == 1  # fwd only
+    assert off_names.count("equiformer_dtplin_bwd3") == 0
+    assert off_names.count("equiformer_dtplin_leg") == 4  # fwd + x/sh/w legs
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
