@@ -9,6 +9,7 @@ jitted train step and padded static batches.
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -53,6 +54,13 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", action="store_true",
                    help="run on synthetic data (no dataset files needed)")
     p.add_argument("--eval-interval", type=int, default=1)
+    p.add_argument("--test-interval", type=int, default=0,
+                   help="epoch interval for periodic test-set evaluation "
+                        "(reference main_md17.py --test-interval; 0 = only "
+                        "evaluate test when val improves)")
+    p.add_argument("--test-max-iter", type=int, default=-1,
+                   help="max batches per periodic test eval (reference "
+                        "--test-max-iter; -1 = full test set)")
     p.add_argument("--print-freq", type=int, default=100)
     p.add_argument("--checkpoint-path", type=str, default=None)
     p.add_argument("--evaluate", action="store_true")
@@ -73,7 +81,15 @@ def run_epochs(
     extra_step_args: Callable = lambda epoch: (),
     logger: Optional[FileLogger] = None,
     best_key: str = "mae",
+    score_fn: Optional[Callable[[Dict[str, float]], float]] = None,
 ):
+    """Epoch loop with best-val AND best-test checkpointing.
+
+    Mirrors main_md17.py:247-265 + update_best_results (main_md17.py:332-358):
+    the test set is evaluated every ``args.test_interval`` epochs (and whenever
+    val improves); val and test each keep their own best checkpoint, scored by
+    ``score_fn`` (the reference's weighted energy/force error) or ``best_key``.
+    """
     log = logger or FileLogger(True, args.output_dir)
     writer = MetricsWriter(args.output_dir)
     dp = getattr(args, "dp", 1)
@@ -90,11 +106,18 @@ def run_epochs(
     eval_fn = jax.jit(eval_step)
     rng = jax.random.PRNGKey(args.seed)
     best_val = float("inf")
+    best_test = float("inf")
+    score = score_fn or (lambda r: r.get(best_key, float("inf")))
+    test_interval = getattr(args, "test_interval", 0) or 0
+    test_max_iter = getattr(args, "test_max_iter", -1)
     global_step = 0
 
-    def evaluate(params, loader, tag):
+    def evaluate(params, loader, tag, max_iter=-1):
         sums: Dict[str, float] = {}
-        for batch in loader:
+        it = iter(loader)
+        if max_iter >= 0:
+            it = itertools.islice(it, max_iter)
+        for batch in it:
             out = eval_fn(params, batch)
             for k, v in out.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
@@ -142,12 +165,24 @@ def run_epochs(
         if val_loader is not None and (epoch + 1) % args.eval_interval == 0:
             params_eval = state.ema_params if state.ema_params is not None else state.params
             result = evaluate(params_eval, val_loader, f"val epoch {epoch}")
-            score = result.get(best_key, float("inf"))
-            if score < best_val:
-                best_val = score
+            val_score = score(result)
+            improved_val = val_score < best_val
+            if improved_val:
+                best_val = val_score
                 save_params(os.path.join(args.output_dir, "best_val.npz"), params_eval)
-                log.info("new best val %s=%.6f", best_key, best_val)
-                if test_loader is not None:
-                    evaluate(params_eval, test_loader, f"test epoch {epoch}")
+                log.info("new best val score=%.6f", best_val)
+            test_due = test_interval > 0 and (epoch + 1) % test_interval == 0
+            if test_loader is not None and (test_due or improved_val):
+                test_result = evaluate(
+                    params_eval, test_loader, f"test epoch {epoch}",
+                    max_iter=test_max_iter if test_due else -1,
+                )
+                test_score = score(test_result)
+                if test_score < best_test:
+                    best_test = test_score
+                    save_params(
+                        os.path.join(args.output_dir, "best_test.npz"), params_eval
+                    )
+                    log.info("new best test score=%.6f", best_test)
     save_params(os.path.join(args.output_dir, "final.npz"), state.params)
     return state

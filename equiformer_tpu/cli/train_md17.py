@@ -49,6 +49,8 @@ def get_args():
     p.set_defaults(
         model_name="graph_attention_transformer_nonlinear_exp_l2_md17",
         batch_size=8, eval_batch_size=24, epochs=1000,
+        # reference main_md17.py:97-100 defaults
+        test_interval=10, test_max_iter=1000,
     )
     return p.parse_args()
 
@@ -158,10 +160,16 @@ def main(args):
             "mae_f": s["mae_f_sum"] / max(s["count_f"], 1.0),
         }
 
+    def weighted_error(r):
+        # update_best_results criterion (main_md17.py:334-335):
+        # energy_weight * e_err + force_weight * f_err
+        return args.energy_weight * r["mae_e"] + args.force_weight * r["mae_f"]
+
     run_epochs(
         args, state, train_step, eval_step, train_loader, val_loader, test_loader,
         metric_keys=metric_keys, eval_reduce=eval_reduce,
         extra_step_args=extra, logger=log, best_key="mae_f",
+        score_fn=weighted_error,
     )
 
 

@@ -98,7 +98,7 @@ DEFAULT_CONFIG = {
         "eval_every_epochs": 1,
     },
     "normalizer": {"target_mean": -1.525913953781128, "target_std": 2.279365062713623,
-                   "positions_std": 0.8772},
+                   "positions_std": 0.9452036023139954},
     "dataset": {"format": "lmdb_v2", "train_src": None, "val_src": None,
                 "max_nodes_per_graph": 96},
 }

@@ -23,8 +23,11 @@ from ..graph.batching import GraphsTuple
 from .equiformer import GraphAttentionTransformer
 from .registry import register_model
 
-# MD17 molecules (aspirin): statistics used by the reference
-_AVG_NUM_NODES_MD17 = 18.0
+# MD17 statistics used by the reference — it reuses the QM9 r=5 statistics
+# verbatim (graph_attention_transformer_md17.py:43-48, "For simplicity, use
+# the same statistics for MD17").  Must match to the last digit or converted
+# reference checkpoints lose bit-parity (the value scales every output).
+_AVG_NUM_NODES_MD17 = 18.03065905448718
 _AVG_DEGREE_MD17 = 15.57930850982666
 
 
