@@ -17,6 +17,10 @@ headline aspirin config) with forces = -dE/dpos inside the loss, i.e. double
 backward through the network (graph_attention_transformer_md17.py:318-325),
 batch 8 (main_md17.py default).
 
+--task dens: the DeNS aspirin L3 recipe (main_md17_dens.py:349-403): on-device
+masked gaussian noise augmentation, force encoding, energy + force +
+denoising 3-term loss with double backward through the energy branch.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Timing protocol: the remote-TPU backend's block_until_ready does not imply
@@ -27,12 +31,14 @@ Baselines: the reference publishes no throughput numbers (BASELINE.md); the
 QM9 denominator is an estimated 400 graphs/sec for PyTorch Equiformer QM9 AMP
 training on one A100 (batch 128, ~3.5M params, e3nn TPs) — the BASELINE.json
 target of 3x then corresponds to vs_baseline >= 3.0.  See BASELINE.md
-"Throughput baseline derivation".  OC20/MD17 denominators are FLOPs-scaled
-from the same estimate: baseline_task = 400 * qm9_flops_per_graph /
-task_flops_per_graph (per-graph FLOPs from XLA cost analysis of the einsum
-lowering), i.e. we assume the reference is equally FLOP-efficient per dataset
-— generous to the reference, since its e3nn TP launch overhead grows with the
-larger OC20/MD17 models.
+"Throughput baseline derivation".  OC20/MD17/DeNS denominators are FLOPs-
+scaled from the same estimate: baseline_task = 400 * qm9_flops_per_graph /
+task_flops_per_graph, with BOTH per-graph FLOPs taken from XLA cost analysis
+of the tight-edge-cap einsum lowering (one provenance — the QM9 figure is
+recomputed via the same step_flops path, not a baked loose-cap constant).
+We assume the reference is equally FLOP-efficient per dataset — generous to
+the reference, since its e3nn TP launch overhead grows with the larger
+OC20/MD17 models.
 
 MFU: FLOPs/step come from XLA's cost analysis of the *einsum-path* model
 (EQUIFORMER_TPU_PALLAS=0) lowered on CPU — the Pallas kernels compute exactly
@@ -51,11 +57,15 @@ import time
 import numpy as np
 
 A100_BASELINE_GRAPHS_PER_SEC = 400.0  # QM9 nonlinear_l2, batch 128, AMP
-# 955.6 GFLOPs/step at batch 128 (XLA cost analysis, einsum lowering)
-QM9_FLOPS_PER_GRAPH = 955633172480.0 / 128.0
+# QM9 FLOPs/step at batch 128 under the *tight-edge-cap* einsum lowering —
+# the same lowering the benchmark numerators use (step_flops key "qm9:128:0",
+# recorded in BENCH_r03.json).  Used only as a fallback when the live
+# step_flops recomputation fails; both sides of every vs_baseline ratio must
+# share this provenance (VERDICT r3 item 6: no mixed-capacity denominators).
+QM9_FLOPS_PER_STEP_B128_TIGHT = 759580852224.0
 TPU_V5E_PEAK_BF16_FLOPS = 197e12  # per chip (Google's published v5e spec)
 
-DEFAULT_BATCH = {"qm9": 128, "oc20": 32, "md17": 8}
+DEFAULT_BATCH = {"qm9": 128, "oc20": 32, "md17": 8, "dens": 8}
 
 
 def tight_edge_cap(data, batch_size, r, slack: int = 128) -> int:
@@ -301,12 +311,89 @@ def build_md17(args, batch_size):
     return train_step, state, batches
 
 
-BUILDERS = {"qm9": build_qm9, "oc20": build_oc20, "md17": build_md17}
+def build_dens(args, batch_size):
+    """DeNS aspirin L3 recipe (scripts/train/md17/equiformer_dens/se_l3/
+    target@aspirin.sh: e=1, f=80, dp=5.0, prob 0.25, std 0.05, corrupt 0.25;
+    model from configs/md17_dens/equiformer_dens_l3.yml = reference
+    equiformer_dens_N@6_L@3_C@128-64-64-32.yml).  The step is the 3-term loss
+    with on-device noise augmentation, force encoding, and double backward
+    through the energy branch (main_md17_dens.py:349-403)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from equiformer_tpu.core import Irreps
+    from equiformer_tpu.data import GraphLoader, md17_like_dataset
+    from equiformer_tpu.models import model_entrypoint
+    from equiformer_tpu.train import (
+        TrainState, cosine_warmup_schedule, create_optimizer,
+    )
+    from equiformer_tpu.train.engine import make_dens_steps
+    from equiformer_tpu.utils.config import load_config
+
+    slots = 21  # aspirin
+    node_cap = batch_size * slots
+    data = md17_like_dataset(batch_size * 4, num_atoms=slots, seed=0)
+    edge_cap = (
+        ((batch_size * 21 * 20 + 127) // 128) * 128
+        if args.loose_edges
+        else tight_edge_cap(data, batch_size, 5.0)
+    )
+    if args.smoke:
+        kwargs = dict(
+            irreps_node_embedding=Irreps("16x0e+8x1e"),
+            num_layers=2,
+            irreps_sh=Irreps("1x0e+1x1e"),
+            irreps_equivariant_inputs=Irreps("1x0e+1x1e"),
+            number_of_basis=16,
+            fc_neurons=(16, 16),
+            irreps_feature=Irreps("32x0e+16x1e"),
+            irreps_head=Irreps("4x0e+2x1e"),
+            num_heads=2,
+            irreps_pre_attn=Irreps("16x0e+8x1e"),
+            irreps_mlp_mid=Irreps("24x0e+12x1e"),
+        )
+    else:
+        ycfg = load_config("configs/md17_dens/equiformer_dens_l3.yml")["model"]
+        kwargs = {
+            k: (Irreps(v) if isinstance(v, str) and "x0e" in v else v)
+            for k, v in ycfg.items()
+        }
+        kwargs["fc_neurons"] = tuple(kwargs["fc_neurons"])
+    model = model_entrypoint("equiformer_md17_dens")(
+        max_edges=edge_cap, nodes_per_graph=slots,
+        compute_dtype=None if args.fp32 else "bfloat16",
+        **kwargs,
+    )
+    loader = GraphLoader(
+        data, batch_size=batch_size, node_capacity=node_cap, shuffle=False,
+        dense_slots=slots, with_forces=True,
+    )
+    batches = [jtu.tree_map(jnp.asarray, b) for b in loader]
+
+    params = model.init(jax.random.PRNGKey(0), batches[0], deterministic=True)
+    opt = create_optimizer(
+        cosine_warmup_schedule(2e-4, 100, 100000), weight_decay=1e-6
+    )
+    train_step, _ = make_dens_steps(
+        model, opt, energy_weight=1.0, force_weight=80.0,
+        denoising_pos_std=0.05, denoising_pos_prob=0.25, corrupt_ratio=0.25,
+    )
+    # bind the (undecayed) denoising weight so the bench loop's 3-arg step
+    # signature is uniform across tasks
+    dp_w = jnp.asarray(5.0, jnp.float32)
+    bound_step = lambda state, batch, rng: train_step(state, batch, rng, dp_w)
+    state = TrainState.create(params, opt)
+    return bound_step, state, batches
+
+
+BUILDERS = {"qm9": build_qm9, "oc20": build_oc20, "md17": build_md17,
+            "dens": build_dens}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=("qm9", "oc20", "md17"), default="qm9")
+    ap.add_argument("--task", choices=("qm9", "oc20", "md17", "dens"), default="qm9")
     ap.add_argument("--smoke", action="store_true", help="tiny model on CPU")
     ap.add_argument("--batch", type=int, default=0, help="0 = per-task default")
     ap.add_argument("--steps", type=int, default=100)
@@ -370,8 +457,12 @@ def main():
             result["flops_per_step"] = flops
             result["mfu"] = round(achieved / TPU_V5E_PEAK_BF16_FLOPS, 5)
             if args.task != "qm9":
-                # FLOPs-scaled denominator (see module docstring)
-                baseline = A100_BASELINE_GRAPHS_PER_SEC * QM9_FLOPS_PER_GRAPH / (
+                # FLOPs-scaled denominator (see module docstring); the QM9
+                # numerator comes from the same tight-cap lowering as the
+                # task numerator (cached), never the loose-cap figure.
+                qm9_flops = step_flops("qm9", 128, 0) or QM9_FLOPS_PER_STEP_B128_TIGHT
+                result["qm9_flops_per_step"] = qm9_flops
+                baseline = A100_BASELINE_GRAPHS_PER_SEC * (qm9_flops / 128.0) / (
                     flops / batch_size
                 )
                 result["baseline_graphs_per_sec"] = round(baseline, 2)

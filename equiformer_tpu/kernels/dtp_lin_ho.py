@@ -48,6 +48,10 @@ from .dtp_lin_pallas import (
     _fwd_kernel,
     _n_scalar,
     _packed_col,
+    _radial_dh,
+    _radial_h_packed,
+    _radial_w_fill,
+    _radial_write_dw,
     _shared_spec,
 )
 
@@ -57,6 +61,11 @@ LANE = 128
 # legs in this order with its output leg removed ('w' absent for fold_shared
 # plans, 'W' expands to one operand per irrep group).
 _LEGS = ("out", "x", "sh", "w", "W")
+# Radial-folded plans: w = h @ Wr (+offset via h's ones column) is itself a
+# leg pair — the 6-tensor (out, x, sh, h, Wr, W) stays multilinear, so the
+# same JVP/transpose closure holds.  'h' is per-edge ([E, rad_hp]); 'Wr'
+# expands to one packed block matrix per pack group (plan.pack_radial).
+_LEGS_RAD = ("out", "x", "sh", "h", "Wr", "W")
 
 
 # --------------------------------------------------------------- plan registry
@@ -72,7 +81,7 @@ def _intern_plan(plan: DTPLinPlan, tile: int) -> int:
     key = (
         str(tp.irreps_in1), str(tp.irreps_in2), str(tp.irreps_out),
         tuple(str(h) for h in plan.head_irreps),
-        plan.fold_shared, plan.needs_dsh, tile,
+        plan.fold_shared, plan.needs_dsh, tile, plan.radial_fold,
     )
     if key not in _PLAN_IDS:
         pid = len(_PLAN_IDS)
@@ -82,10 +91,18 @@ def _intern_plan(plan: DTPLinPlan, tile: int) -> int:
 
 
 def _legs_of(plan: DTPLinPlan, out_leg: str) -> Tuple[str, ...]:
-    legs = [l for l in _LEGS if l != out_leg]
+    base = _LEGS_RAD if plan.radial_fold is not None else _LEGS
+    legs = [l for l in base if l != out_leg]
     if plan.fold_shared and "w" in legs:
         legs.remove("w")
     return tuple(legs)
+
+
+def _edge_legs(plan: DTPLinPlan) -> Tuple[str, ...]:
+    """The per-edge legs (everything that can carry a position tangent)."""
+    if plan.radial_fold is not None:
+        return ("x", "sh", "h")
+    return ("x", "sh") if plan.fold_shared else ("x", "sh", "w")
 
 
 # ------------------------------------------------------------- kernel helpers
@@ -235,20 +252,172 @@ def _edge_leg_kernel(plan: DTPLinPlan, T: int, out_leg: str, n_ref, *refs):
                         ).astype(out_ref.dtype)
 
 
-def _W_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
-    """out_leg == 'W': z via the FMA phase, dW_g = z^T @ g accumulated across
-    the edge grid in fp32 output blocks."""
-    from .dtp_lin_pallas import _fma_z
+def _edge_leg_kernel_rad(plan: DTPLinPlan, T: int, out_leg: str, n_ref, *refs):
+    """Radial-folded edge-leg variants (out_leg in 'x'/'sh'/'h').
 
+    Operands in canonical leg order minus the output leg:
+      'x'  -> (g, sh, h, Wr*, W*)   'sh' -> (g, x, h, Wr*, W*)
+      'h'  -> (g, x, sh, Wr*, W*)
+    The x/sh variants rebuild w in VMEM from (h, Wr); the h variant instead
+    accumulates dw and contracts it against Wr (dh = dw Wr^T per pack group),
+    reusing the w_al scratch for dw."""
     nG = len(plan.groups)
+    nP = len(plan.rad_ranges)
+    it = iter(refs)
+    g_ref = next(it)
+    x_ref = sh_ref = h_ref = None
+    if out_leg == "x":
+        sh_ref = next(it)
+        h_ref = next(it)
+    elif out_leg == "sh":
+        x_ref = next(it)
+        h_ref = next(it)
+    else:  # 'h'
+        x_ref = next(it)
+        sh_ref = next(it)
+    Wr_refs = [next(it) for _ in range(nP)]
+    W_refs = [next(it) for _ in range(nG)]
+    out_ref = next(it)
+    x_al = next(it) if x_ref is not None else None
+    w_al = next(it)
+    dz_scr = [next(it) for _ in range(nG)]
+    g_scr = [next(it) for _ in range(nG)]
+    assert next(it, None) is None
+
+    active = pl.program_id(0) * T < n_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(active)
+    def _():
+        if x_ref is not None:
+            _align_inputs(plan, x_ref, None, x_al, None, T)
+        if out_leg in ("x", "sh"):
+            _radial_w_fill(plan, T, h_ref, Wr_refs, w_al)
+        _gm_fill(plan, T, g_ref, g_scr)
+        _dz_phase(plan, T, W_refs, g_scr, dz_scr)
+        cols = sh_ref[:] if sh_ref is not None else None
+
+        acc = {}
+        colcache, dzcache = {}, {}
+        for t, (gi, k, fc) in plan._terms:
+            xs, mul, p = plan.x_slots[t.a_off]
+            r = T // p
+            lanes = LANE if p == 1 else p * mul
+            dz = _dz_slice(plan, dz_scr, dzcache, gi, k, fc, p, mul, T)
+            ws, _, _ = plan.w_slots[t.b_off]
+            if out_leg == "sh":
+                xv = x_al[:r, xs : xs + lanes]
+                wv = w_al[:r, ws : ws + lanes]
+                v = t.coeff * (xv * (wv * dz))
+                key = (t.col_off, p, mul)
+                acc[key] = acc.get(key, 0.0) + v
+                continue
+            cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
+            cdz = (t.coeff * cp) * dz
+            if out_leg == "x":
+                acc[xs] = acc.get(xs, 0.0) + cdz * w_al[:r, ws : ws + lanes]
+            else:  # 'h': accumulate dw, contract below
+                acc[ws] = acc.get(ws, 0.0) + cdz * x_al[:r, xs : xs + lanes]
+        if out_leg == "x":
+            _write_sloted(plan, plan.x_slots, acc, out_ref, T)
+        elif out_leg == "h":
+            _radial_write_dw(plan, acc, w_al, T)
+            _radial_dh(plan, T, w_al, Wr_refs, out_ref)
+        else:  # 'sh': column sums
+            out_ref[:] = jnp.zeros_like(out_ref)
+            for (j, p, mul), a in acc.items():
+                if p == 1:
+                    out_ref[:, j : j + 1] += jnp.sum(
+                        a, axis=1, keepdims=True
+                    ).astype(out_ref.dtype)
+                else:
+                    r = T // p
+                    for g in range(p):
+                        out_ref[g * r : (g + 1) * r, j : j + 1] += jnp.sum(
+                            a[:, g * mul : (g + 1) * mul], axis=1, keepdims=True
+                        ).astype(out_ref.dtype)
+
+
+def _Wr_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
+    """out_leg == 'Wr': dw via the dz phase + FMA transpose, then
+    dWr_p = h_packed^T @ dw accumulated across the edge grid (fp32 blocks);
+    the XLA-side pack_radial transpose extracts the real (Wr, offset) rows."""
+    nG = len(plan.groups)
+    nP = len(plan.rad_ranges)
     it = iter(refs)
     g_ref = next(it)
     x_ref = next(it)
     sh_ref = next(it)
-    w_ref = None if plan.fold_shared else next(it)
+    h_ref = next(it)
+    W_refs = [next(it) for _ in range(nG)]
+    dWr_refs = [next(it) for _ in range(nP)]
+    x_al = next(it)
+    w_al = next(it)
+    dz_scr = [next(it) for _ in range(nG)]
+    g_scr = [next(it) for _ in range(nG)]
+    assert next(it, None) is None
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for d in dWr_refs:
+            d[:] = jnp.zeros_like(d)
+
+    active = i * T < n_ref[0]
+
+    @pl.when(active)
+    def _():
+        _align_inputs(plan, x_ref, None, x_al, None, T)
+        _gm_fill(plan, T, g_ref, g_scr)
+        _dz_phase(plan, T, W_refs, g_scr, dz_scr)
+        cols = sh_ref[:]
+        dw_acc = {}
+        colcache, dzcache = {}, {}
+        for t, (gi, k, fc) in plan._terms:
+            xs, mul, p = plan.x_slots[t.a_off]
+            r = T // p
+            lanes = LANE if p == 1 else p * mul
+            dz = _dz_slice(plan, dz_scr, dzcache, gi, k, fc, p, mul, T)
+            cp = _packed_col(plan, cols, colcache, t.col_off, p, mul, T)
+            ws, _, _ = plan.w_slots[t.b_off]
+            dw_acc[ws] = dw_acc.get(ws, 0.0) + ((t.coeff * cp) * dz) * x_al[
+                :r, xs : xs + lanes
+            ]
+        _radial_write_dw(plan, dw_acc, w_al, T)
+        for pi, (p, start, width) in enumerate(plan.rad_ranges):
+            r = T // p
+            hp_op = _radial_h_packed(plan, h_ref, p, T)
+            dWr_refs[pi][:] += lax.dot_general(
+                hp_op,
+                w_al[:r, start : start + width],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def _W_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
+    """out_leg == 'W': z via the FMA phase, dW_g = z^T @ g accumulated across
+    the edge grid in fp32 output blocks.  Radial plans rebuild w from (h, Wr)
+    first."""
+    from .dtp_lin_pallas import _fma_z
+
+    nG = len(plan.groups)
+    rad = plan.radial_fold is not None
+    nP = len(plan.rad_ranges) if rad else 0
+    it = iter(refs)
+    g_ref = next(it)
+    x_ref = next(it)
+    sh_ref = next(it)
+    h_ref = next(it) if rad else None
+    w_ref = None if (plan.fold_shared or rad) else next(it)
+    Wr_refs = [next(it) for _ in range(nP)]
     dW_refs = [next(it) for _ in range(nG)]
     x_al = next(it)
-    w_al = None if plan.fold_shared else next(it)
+    w_al = next(it) if rad else (None if plan.fold_shared else next(it))
     z_scr = [next(it) for _ in range(nG)]
     g_scr = [next(it) for _ in range(nG)]
     assert next(it, None) is None
@@ -266,7 +435,9 @@ def _W_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
 
     @pl.when(active)
     def _():
-        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        _align_inputs(plan, x_ref, w_ref, x_al, w_al if not rad else None, T)
+        if rad:
+            _radial_w_fill(plan, T, h_ref, Wr_refs, w_al)
         _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
         _gm_fill(plan, T, g_ref, g_scr)
         for gi in range(nG):
@@ -278,22 +449,28 @@ def _W_leg_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
 
 
 def _bwd3_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
-    """Combined edge-leg backward: (dx, dsh[, dw]) in ONE pass — one dz
+    """Combined edge-leg backward: (dx, dsh[, dw|dh]) in ONE pass — one dz
     MXU phase instead of three (the x/sh/w leg kernels each recompute
     ``dz = g @ W^T``).  Same math as three leg kernels; used by the
-    consolidated F_edge3 transpose."""
+    consolidated F_edge3 transpose.  Radial plans rebuild w from (h, Wr) and
+    emit dh instead of dw (dw stays in VMEM, contracted against Wr)."""
     nG = len(plan.groups)
+    rad = plan.radial_fold is not None
+    nP = len(plan.rad_ranges) if rad else 0
     it = iter(refs)
     g_ref = next(it)
     x_ref = next(it)
     sh_ref = next(it)
-    w_ref = None if plan.fold_shared else next(it)
+    h_ref = next(it) if rad else None
+    w_ref = None if (plan.fold_shared or rad) else next(it)
+    Wr_refs = [next(it) for _ in range(nP)]
     W_refs = [next(it) for _ in range(nG)]
     dx_ref = next(it)
     dsh_ref = next(it)
-    dw_ref = None if plan.fold_shared else next(it)
+    dh_ref = next(it) if rad else None
+    dw_ref = None if (plan.fold_shared or rad) else next(it)
     x_al = next(it)
-    w_al = None if plan.fold_shared else next(it)
+    w_al = next(it) if rad else (None if plan.fold_shared else next(it))
     dz_scr = [next(it) for _ in range(nG)]
     g_scr = [next(it) for _ in range(nG)]
     assert next(it, None) is None
@@ -306,10 +483,14 @@ def _bwd3_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
         dsh_ref[:] = jnp.zeros_like(dsh_ref)
         if dw_ref is not None:
             dw_ref[:] = jnp.zeros_like(dw_ref)
+        if dh_ref is not None:
+            dh_ref[:] = jnp.zeros_like(dh_ref)
 
     @pl.when(active)
     def _():
-        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        _align_inputs(plan, x_ref, w_ref, x_al, None if rad else w_al, T)
+        if rad:
+            _radial_w_fill(plan, T, h_ref, Wr_refs, w_al)
         _gm_fill(plan, T, g_ref, g_scr)
         _dz_phase(plan, T, W_refs, g_scr, dz_scr)
         cols = sh_ref[:]
@@ -338,6 +519,11 @@ def _bwd3_kernel(plan: DTPLinPlan, T: int, n_ref, *refs):
                     + t.coeff * (xv * (wv * dz))
                 )
         _write_sloted(plan, plan.x_slots, dx_acc, dx_ref, T)
+        if rad:
+            # dw never leaves VMEM: overwrite the (now consumed) w scratch
+            # with it and contract against Wr per pack group
+            _radial_write_dw(plan, dw_acc, w_al, T)
+            _radial_dh(plan, T, w_al, Wr_refs, dh_ref)
         dsh_ref[:] = jnp.zeros_like(dsh_ref)
         for (j, p, mul), a in dsh_acc.items():
             if p == 1:
@@ -360,6 +546,8 @@ def _edge_spec(T, d):
 
 
 def _leg_dim(plan: DTPLinPlan, leg: str) -> int:
+    if leg == "h":
+        return plan.rad_hp
     return {"out": plan.d_out, "x": plan.d_x, "sh": plan.d_sh, "w": plan.d_w}[leg]
 
 
@@ -374,16 +562,23 @@ def _t_eff(tile: int, dtype) -> int:
 def _leg_call(plan: DTPLinPlan, tile: int, out_leg: str, interpret: bool,
               n, *operands):
     nG = len(plan.groups)
+    rad = plan.radial_fold is not None
     T = _t_eff(tile, operands[0].dtype)
-    legs = _legs_of(plan, out_leg)
     E = operands[0].shape[0]
     dtype = operands[0].dtype
-    in_specs, edge_ops = [], []
-    for li, leg in enumerate(legs):
-        if leg == "W":
-            in_specs += [_shared_spec(W.shape) for W in operands[li:]]
+    slots, width = _op_slots(plan, out_leg)
+    assert width == len(operands), (out_leg, width, len(operands))
+    in_specs = []
+    for leg, s, e in slots:
+        if leg in ("W", "Wr"):
+            in_specs += [_shared_spec(op.shape) for op in operands[s:e]]
         else:
             in_specs.append(_edge_spec(T, _leg_dim(plan, leg)))
+
+    z_group_scr = [pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups]
+    g_group_scr = [pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups]
+    x_al_scr = pltpu.VMEM((T, plan.d_x_al), dtype)
+    w_al_scr = pltpu.VMEM((T, plan.d_w_al), dtype)
 
     if out_leg == "W":
         out_shape = tuple(
@@ -391,41 +586,48 @@ def _leg_call(plan: DTPLinPlan, tile: int, out_leg: str, interpret: bool,
             for g in plan.groups
         )
         out_specs = tuple(_shared_spec((g.fan_pad, g.cols)) for g in plan.groups)
-        scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
-        if not plan.fold_shared:
-            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
-        scratch += [
-            pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups
-        ]
-        scratch += [
-            pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups
-        ]
+        scratch = [x_al_scr]
+        if rad or not plan.fold_shared:
+            scratch.append(w_al_scr)
+        scratch += z_group_scr + g_group_scr
         kernel = functools.partial(_W_leg_kernel, plan, T)
+    elif out_leg == "Wr":
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((p * plan.rad_hp, w), jnp.float32)
+            for p, _, w in plan.rad_ranges
+        )
+        out_specs = tuple(
+            _shared_spec((p * plan.rad_hp, w)) for p, _, w in plan.rad_ranges
+        )
+        scratch = [x_al_scr, w_al_scr] + z_group_scr + g_group_scr
+        kernel = functools.partial(_Wr_leg_kernel, plan, T)
     elif out_leg == "out":
         out_shape = jax.ShapeDtypeStruct((E, plan.d_out), dtype)
         out_specs = _edge_spec(T, plan.d_out)
-        scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
-        if not plan.fold_shared:
-            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
-        scratch += [
-            pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups
-        ]
+        scratch = [x_al_scr]
+        if rad or not plan.fold_shared:
+            scratch.append(w_al_scr)
+        scratch += z_group_scr
         # reuse the first-order forward kernel body (save_z=False)
         kernel = functools.partial(_fwd_kernel, plan, T, False)
+    elif rad:  # 'x' / 'sh' / 'h'
+        out_shape = jax.ShapeDtypeStruct((E, _leg_dim(plan, out_leg)), dtype)
+        out_specs = _edge_spec(T, _leg_dim(plan, out_leg))
+        scratch = []
+        if out_leg != "x":
+            scratch.append(x_al_scr)
+        scratch.append(w_al_scr)  # w fill (x/sh) or the dw buffer (h)
+        scratch += z_group_scr + g_group_scr
+        kernel = functools.partial(_edge_leg_kernel_rad, plan, T, out_leg)
     else:
         out_shape = jax.ShapeDtypeStruct((E, _leg_dim(plan, out_leg)), dtype)
         out_specs = _edge_spec(T, _leg_dim(plan, out_leg))
         scratch = []
         if out_leg != "x":
-            scratch.append(pltpu.VMEM((T, plan.d_x_al), dtype))
+            scratch.append(x_al_scr)
         if not plan.fold_shared and out_leg != "w":
-            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
-        scratch += [
-            pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups
-        ]
-        scratch += [
-            pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups
-        ]
+            scratch.append(w_al_scr)
+        scratch += z_group_scr + g_group_scr
         kernel = functools.partial(_edge_leg_kernel, plan, T, out_leg)
 
     return pl.pallas_call(
@@ -443,17 +645,21 @@ def _leg_call(plan: DTPLinPlan, tile: int, out_leg: str, interpret: bool,
 
 
 def _bwd3_pallas(plan: DTPLinPlan, tile: int, interpret: bool, n, *operands):
-    """(g, x, sh, [w], W*) -> (dx, dsh[, dw]) via the combined kernel.
+    """(g, x, sh, [w|h], [Wr*], W*) -> (dx, dsh[, dw|dh]) via the combined
+    kernel.
 
     Carries THREE edge outputs plus both align scratches, so its footprint
     exceeds any single-leg kernel: shrink the tile by its own width estimate
     (L3 at tile 128 measured an 18.52M scoped-vmem OOM; 64 fits)."""
     nG = len(plan.groups)
+    rad = plan.radial_fold is not None
+    nP = len(plan.rad_ranges) if rad else 0
     T = _t_eff(tile, operands[0].dtype)
     zw = sum(g.ir.dim * g.fan_pad for g in plan.groups)
     zc = sum(g.ir.dim * g.cols for g in plan.groups)
+    d_we = plan.rad_hp if rad else plan.d_w  # per-edge w-side operand width
     width3 = (plan.d_x_al + plan.d_w_al + plan.d_out
-              + 2 * (plan.d_x + plan.d_sh + plan.d_w) + zw + zc)
+              + 2 * (plan.d_x + plan.d_sh + d_we) + zw + zc)
     while T > 32 and T * width3 * 4 > 11 * 2**20:
         T //= 2
     E = operands[0].shape[0]
@@ -463,19 +669,27 @@ def _bwd3_pallas(plan: DTPLinPlan, tile: int, interpret: bool, n, *operands):
         _edge_spec(T, plan.d_x),
         _edge_spec(T, plan.d_sh),
     ]
-    if not plan.fold_shared:
+    n_edge_in = 3
+    if rad:
+        in_specs.append(_edge_spec(T, plan.rad_hp))
+        n_edge_in = 4
+    elif not plan.fold_shared:
         in_specs.append(_edge_spec(T, plan.d_w))
-    in_specs += [_shared_spec(W.shape) for W in operands[len(in_specs):]]
+        n_edge_in = 4
+    in_specs += [_shared_spec(W.shape) for W in operands[n_edge_in:]]
     out_shape = [
         jax.ShapeDtypeStruct((E, plan.d_x), dtype),
         jax.ShapeDtypeStruct((E, plan.d_sh), dtype),
     ]
     out_specs = [_edge_spec(T, plan.d_x), _edge_spec(T, plan.d_sh)]
-    if not plan.fold_shared:
+    if rad:
+        out_shape.append(jax.ShapeDtypeStruct((E, plan.rad_hp), dtype))
+        out_specs.append(_edge_spec(T, plan.rad_hp))
+    elif not plan.fold_shared:
         out_shape.append(jax.ShapeDtypeStruct((E, plan.d_w), dtype))
         out_specs.append(_edge_spec(T, plan.d_w))
     scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
-    if not plan.fold_shared:
+    if rad or not plan.fold_shared:
         scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
     scratch += [pltpu.VMEM((g.ir.dim * T, g.fan_pad), dtype) for g in plan.groups]
     scratch += [pltpu.VMEM((g.ir.dim * T, g.cols), dtype) for g in plan.groups]
@@ -494,9 +708,11 @@ def _bwd3_pallas(plan: DTPLinPlan, tile: int, interpret: bool, n, *operands):
 
 
 # ------------------------------------------------------------------ primitives
-_leg_p = jex_core.Primitive("equiformer_dtplin_leg")  # out/x/sh/w variants
+_leg_p = jex_core.Primitive("equiformer_dtplin_leg")  # out/x/sh/w/h variants
 _legW_p = jex_core.Primitive("equiformer_dtplin_legW")
 _legW_p.multiple_results = True
+_legWr_p = jex_core.Primitive("equiformer_dtplin_legWr")  # radial-fold dWr
+_legWr_p.multiple_results = True
 # consolidated edge-tangent pair:
 #   F_edge3(x0, sh0, [w0], W0*, dx, dsh, [dw]) =
 #     F(dx, sh0, [w0], W0) + F(x0, dsh, [w0], W0) [+ F(x0, sh0, dw, W0)]
@@ -522,8 +738,17 @@ def _legW_abstract(n, *ops, plan_id, interpret):
     )
 
 
+def _legWr_abstract(n, *ops, plan_id, interpret):
+    plan, _ = _PLANS[plan_id]
+    return tuple(
+        jax.core.ShapedArray((p * plan.rad_hp, w), jnp.float32)
+        for p, _, w in plan.rad_ranges
+    )
+
+
 _leg_p.def_abstract_eval(_leg_abstract)
 _legW_p.def_abstract_eval(_legW_abstract)
+_legWr_p.def_abstract_eval(_legWr_abstract)
 
 
 def _leg_impl(n, *ops, plan_id, out_leg, interpret):
@@ -536,15 +761,24 @@ def _legW_impl(n, *ops, plan_id, interpret):
     return _leg_call(plan, tile, "W", interpret, n, *ops)
 
 
+def _legWr_impl(n, *ops, plan_id, interpret):
+    plan, tile = _PLANS[plan_id]
+    return _leg_call(plan, tile, "Wr", interpret, n, *ops)
+
+
 _leg_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _leg_p))
 _legW_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _legW_p))
+_legWr_p.def_impl(functools.partial(jax.interpreters.xla.apply_primitive, _legWr_p))
 mlir.register_lowering(_leg_p, mlir.lower_fun(_leg_impl, multiple_results=False))
 mlir.register_lowering(_legW_p, mlir.lower_fun(_legW_impl, multiple_results=True))
+mlir.register_lowering(_legWr_p, mlir.lower_fun(_legWr_impl, multiple_results=True))
 
 
 def _bind(plan_id, out_leg, interpret, n, *ops):
     if out_leg == "W":
         return _legW_p.bind(n, *ops, plan_id=plan_id, interpret=interpret)
+    if out_leg == "Wr":
+        return _legWr_p.bind(n, *ops, plan_id=plan_id, interpret=interpret)
     return _leg_p.bind(n, *ops, plan_id=plan_id, out_leg=out_leg,
                        interpret=interpret)
 
@@ -558,12 +792,13 @@ def _edge3_abstract(n, *ops, plan_id, interpret):
 
 def _edge3_split(plan, ops):
     nG = len(plan.groups)
-    ne = 2 if plan.fold_shared else 3  # edge primals / tangents
+    nP = len(plan.rad_ranges) if plan.radial_fold is not None else 0
+    ne = len(_edge_legs(plan))  # edge primals / tangents
     prim_edge = ops[:ne]
-    Ws = ops[ne : ne + nG]
-    tans = ops[ne + nG :]
+    shared = ops[ne : ne + nP + nG]  # Wr* then W*
+    tans = ops[ne + nP + nG :]
     assert len(tans) == ne
-    return prim_edge, Ws, tans
+    return prim_edge, shared, tans
 
 
 def _edge3_impl(n, *ops, plan_id, interpret):
@@ -591,7 +826,9 @@ def _bwd3_abstract(n, *ops, plan_id, interpret):
         jax.core.ShapedArray((E, plan.d_x), dt),
         jax.core.ShapedArray((E, plan.d_sh), dt),
     ]
-    if not plan.fold_shared:
+    if plan.radial_fold is not None:
+        shapes.append(jax.core.ShapedArray((E, plan.rad_hp), dt))
+    elif not plan.fold_shared:
         shapes.append(jax.core.ShapedArray((E, plan.d_w), dt))
     return tuple(shapes)
 
@@ -613,7 +850,12 @@ def _op_slots(plan, out_leg):
     legs = _legs_of(plan, out_leg)
     slots, i = [], 0
     for leg in legs:
-        width = nG if leg == "W" else 1
+        if leg == "W":
+            width = nG
+        elif leg == "Wr":
+            width = len(plan.rad_ranges)
+        else:
+            width = 1
         slots.append((leg, i, i + width))
         i += width
     return slots, i
@@ -639,24 +881,25 @@ def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
     def add(a, b):
         if a is None:
             return b
-        if out_leg == "W":
+        if out_leg in ("W", "Wr"):
             return tuple(x + y for x, y in zip(a, b))
         return a + b
 
     handled = set()
     if out_leg == "out" and _edge3_enabled():
-        # group the edge-leg tangents (x, sh, w) into ONE F_edge3 bind when
+        # group the edge-leg tangents (x, sh, w|h) into ONE F_edge3 bind when
         # at least two are live: its transpose is a single fused kernel (one
         # dz MXU phase) instead of 2-3 separate leg kernels — the dominant
         # saving in the force pass, where x, sh AND w all carry pos tangents
-        edge_slots = [(leg, s, e) for leg, s, e in slots if leg != "W"]
+        edge_slots = [(leg, s, e) for leg, s, e in slots
+                      if leg not in ("W", "Wr")]
         live = [
             (leg, s) for leg, s, e in edge_slots
             if type(tans[s]) is not ad.Zero
         ]
         if len(live) >= 2:
-            nG = len(plan.groups)
-            Ws = ops[len(edge_slots) : len(edge_slots) + nG]
+            ne = len(edge_slots)
+            shared = ops[ne:]  # Wr* then W* in canonical order
             edge_prims = [ops[s] for _, s, _ in edge_slots]
             edge_tans = [
                 jnp.zeros(ops[s].shape, ops[s].dtype)
@@ -665,7 +908,7 @@ def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
             ]
             tan_out = add(
                 tan_out,
-                _edge3_p.bind(n, *edge_prims, *Ws, *edge_tans,
+                _edge3_p.bind(n, *edge_prims, *shared, *edge_tans,
                               plan_id=plan_id, interpret=interpret),
             )
             handled = {leg for leg, _, _ in edge_slots}
@@ -683,7 +926,7 @@ def _jvp_common(out_leg, primals, tangents, plan_id, interpret):
         ]
         tan_out = add(tan_out, _bind(plan_id, out_leg, interpret, n, *sub))
     if tan_out is None:
-        if out_leg == "W":
+        if out_leg in ("W", "Wr"):
             tan_out = tuple(ad.Zero.from_primal_value(o) for o in out)
         else:
             tan_out = ad.Zero.from_primal_value(out)
@@ -698,8 +941,13 @@ def _legW_jvp(primals, tangents, *, plan_id, interpret):
     return _jvp_common("W", primals, tangents, plan_id, interpret)
 
 
+def _legWr_jvp(primals, tangents, *, plan_id, interpret):
+    return _jvp_common("Wr", primals, tangents, plan_id, interpret)
+
+
 ad.primitive_jvps[_leg_p] = _leg_jvp
 ad.primitive_jvps[_legW_p] = _legW_jvp
+ad.primitive_jvps[_legWr_p] = _legWr_jvp
 
 
 def _edge3_jvp(primals, tangents, *, plan_id, interpret):
@@ -723,19 +971,15 @@ def _edge3_jvp(primals, tangents, *, plan_id, interpret):
 
 def _edge3_transpose(ct, n, *ops, plan_id, interpret):
     plan, _ = _PLANS[plan_id]
-    nG = len(plan.groups)
-    ne = 2 if plan.fold_shared else 3
-    prim = ops[:ne]
-    Ws = ops[ne : ne + nG]
-    tans = ops[ne + nG :]
-    assert not any(ad.is_undefined_primal(o) for o in (*prim, *Ws)), (
+    prim, shared, tans = _edge3_split(plan, ops)
+    assert not any(ad.is_undefined_primal(o) for o in (*prim, *shared)), (
         "F_edge3 primal legs are residuals; only the tangent block transposes"
     )
     if type(ct) is ad.Zero:
         return [None] * (1 + len(ops))
-    outs = _bwd3_p.bind(n, ct, *prim, *Ws, plan_id=plan_id,
+    outs = _bwd3_p.bind(n, ct, *prim, *shared, plan_id=plan_id,
                         interpret=interpret)
-    res = [None] * (1 + ne + nG)
+    res = [None] * (1 + len(prim) + len(shared))
     for i, t in enumerate(tans):
         res.append(outs[i] if ad.is_undefined_primal(t) else None)
     return res
@@ -758,6 +1002,16 @@ def _bwd3_jvp(primals, tangents, *, plan_id, interpret):
         deps = {  # output -> (leg, operand list, tangent list)
             0: ("x", [g, sh, *Ws], [tg, tsh] + tWs, [0, 1]),
             1: ("sh", [g, x, *Ws], [tg, tx] + tWs, [0, 1]),
+        }
+    elif plan.radial_fold is not None:
+        g, x, sh, h = ops[:4]
+        shared = ops[4:]  # Wr* + W* in canonical order
+        tg, tx, tsh, th = tans[:4]
+        tshared = tans[4:]
+        deps = {
+            0: ("x", [g, sh, h, *shared], [tg, tsh, th] + tshared, None),
+            1: ("sh", [g, x, h, *shared], [tg, tx, th] + tshared, None),
+            2: ("h", [g, x, sh, *shared], [tg, tx, tsh] + tshared, None),
         }
     else:
         g, x, sh, w = ops[:4]
@@ -813,12 +1067,17 @@ def _transpose_common(out_leg, ct, n, ops, plan_id, interpret):
 
     # instantiate the output cotangent (the old out leg's operand value)
     if out_leg == "W":
-        cts = [
+        ct_ops = [
             jnp.zeros((g.fan_pad, g.cols), jnp.float32)
             if type(c) is ad.Zero else c
             for c, g in zip(ct, plan.groups)
         ]
-        ct_ops = cts
+    elif out_leg == "Wr":
+        ct_ops = [
+            jnp.zeros((p * plan.rad_hp, w), jnp.float32)
+            if type(c) is ad.Zero else c
+            for c, (p, _, w) in zip(ct, plan.rad_ranges)
+        ]
     else:
         if type(ct) is ad.Zero:
             return [None] * (1 + len(ops))
@@ -834,8 +1093,8 @@ def _transpose_common(out_leg, ct, n, ops, plan_id, interpret):
         new_ops += values[leg]
     res = _bind(plan_id, t_leg, interpret, n, *new_ops)
 
-    # dW comes back fp32; cast to the undefined primal's dtype
-    if t_leg == "W":
+    # dW/dWr come back fp32; cast to the undefined primal's dtype
+    if t_leg in ("W", "Wr"):
         res = [
             r.astype(o.aval.dtype) for r, o in zip(res, ops[us:ue])
         ]
@@ -858,8 +1117,13 @@ def _legW_transpose(ct, n, *ops, plan_id, interpret):
     return _transpose_common("W", ct, n, ops, plan_id, interpret)
 
 
+def _legWr_transpose(ct, n, *ops, plan_id, interpret):
+    return _transpose_common("Wr", ct, n, ops, plan_id, interpret)
+
+
 ad.primitive_transposes[_leg_p] = _leg_transpose
 ad.primitive_transposes[_legW_p] = _legW_transpose
+ad.primitive_transposes[_legWr_p] = _legWr_transpose
 
 
 # ------------------------------------------------------------------ public op
@@ -875,7 +1139,8 @@ def auto_tile(plan: DTPLinPlan, start: int = 128,
     shrinks to 64."""
     tile = start
     zw = sum(g.ir.dim * (g.fan_pad + g.cols) for g in plan.groups)
-    width = plan.d_x_al + plan.d_w_al + plan.d_out + plan.d_x + plan.d_w + zw
+    d_we = plan.rad_hp if plan.radial_fold is not None else plan.d_w
+    width = plan.d_x_al + plan.d_w_al + plan.d_out + plan.d_x + d_we + zw
     while tile > 32 and tile * width * 4 > budget:
         tile //= 2
     return tile
@@ -884,7 +1149,11 @@ def auto_tile(plan: DTPLinPlan, start: int = 128,
 def make_fused_dtp_lin_ho(plan: DTPLinPlan, tile: Optional[int] = None,
                           interpret: Optional[bool] = None):
     """Arbitrary-order fused op with the make_fused_dtp_lin call signature:
-    ``call(x, sh, w, Ws, n_edges=None) -> out_flat``."""
+    ``call(x, sh, w, Ws, n_edges=None) -> out_flat``.
+
+    For radial-folded plans, ``w`` is the tuple ``(h, Wrs)``: the radial
+    MLP's last hidden activation ``h [E, rad_hd]`` and the packed final
+    weights from ``plan.pack_radial(Wr, offset)``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile is None:
@@ -897,13 +1166,24 @@ def make_fused_dtp_lin_ho(plan: DTPLinPlan, tile: Optional[int] = None,
         pad = (-E) % _t_eff(T, x.dtype)
         if plan.fold_shared:
             Ws = plan.scale_shared_weights(w.astype(x.dtype), Ws)
+        rad = plan.radial_fold is not None
+        if rad:
+            h, Wrs = w
+            h = plan.pad_h(h.astype(x.dtype))
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0)))
             sh = jnp.pad(sh, ((0, pad), (0, 0)))
-            if not plan.fold_shared:
+            if rad:
+                h = jnp.pad(h, ((0, pad), (0, 0)))
+            elif not plan.fold_shared:
                 w = jnp.pad(w, ((0, pad), (0, 0)))
         n = _n_scalar(n_edges, E)
-        ops = (x, sh) if plan.fold_shared else (x, sh, w)
+        if rad:
+            ops = (x, sh, h) + tuple(Wrs)
+        elif plan.fold_shared:
+            ops = (x, sh)
+        else:
+            ops = (x, sh, w)
         out = _bind(pid, "out", interpret, n, *ops, *Ws)
         return out[:E] if pad else out
 

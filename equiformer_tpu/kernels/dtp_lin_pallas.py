@@ -81,7 +81,18 @@ class DTPLinPlan:
         shared_weights: bool = False,
         needs_dsh: bool = True,
         tile: int = 128,
+        radial_fold: Optional[int] = None,
     ):
+        """``radial_fold`` (the radial MLP's last hidden width, e.g. 64) folds
+        the radial profile's FINAL LINEAR LAYER into the kernel: the per-edge
+        operand becomes the hidden activation ``h`` (``rad_hp``-wide, vs
+        ``weight_numel``-wide ``w``) and the kernel computes the aligned
+        weight scratch as MXU dots ``h_packed @ Wr_block`` against packed
+        radial weights (``pack_radial``) — replacing both the XLA-side
+        ``[E, weight_numel]`` materialization (reference radial_func.py:9-50
+        applied per edge, nets/graph_attention_transformer.py:490) and the
+        per-slot w align copies.  w slots are grouped by pack factor so each
+        group fills with ONE dot."""
         self.tp = tp
         self.shared_weights = shared_weights
         # the slot layout gives each (block, component, 128-lane sub-slot) one
@@ -126,16 +137,36 @@ class DTPLinPlan:
                     self.x_slots[base + s] = (acc, m, _pack(m))
                     acc += LANE
         self.d_x_al = acc
-        self.w_slots = {}
-        acc = 0
+        self.radial_fold = radial_fold if not shared_weights else None
+        sub_slots = []  # (weight offset, mul, pack)
         for ii, ins in enumerate(tp.instructions):
             mul = tp.irreps_in1[ins.i_in1].mul
             base = tp._offsets[ii]
             for s in range(0, mul, LANE):
                 m = min(LANE, mul - s)
-                self.w_slots[base + s] = (acc, m, _pack(m))
-                acc += LANE
+                sub_slots.append((base + s, m, _pack(m)))
+        if self.radial_fold is not None:
+            # group w slots by pack factor: each group's aligned weights then
+            # fill with a single MXU dot in _radial_w_fill
+            sub_slots.sort(key=lambda t: t[2])
+        self.w_slots = {}
+        acc = 0
+        for off, m, p in sub_slots:
+            self.w_slots[off] = (acc, m, p)
+            acc += LANE
         self.d_w_al = acc
+        if self.radial_fold is not None:
+            self.rad_hd = int(radial_fold)
+            assert self.rad_hd < LANE, "radial hidden must fit one lane slot"
+            self.rad_hp = LANE  # padded per-edge h width ([h, 1, 0...])
+            self.rad_ranges = []  # (pack, lane start, lane width)
+            for off, m, p in sub_slots:
+                slot = self.w_slots[off][0]
+                if not self.rad_ranges or self.rad_ranges[-1][0] != p:
+                    self.rad_ranges.append((p, slot, LANE))
+                else:
+                    pp, s0, w0 = self.rad_ranges[-1]
+                    self.rad_ranges[-1] = (pp, s0, w0 + LANE)
         self.d_x = tp.irreps_in1.dim
         self.d_sh = tp.irreps_in2.dim
         self.d_w = tp.weight_numel
@@ -238,6 +269,12 @@ class DTPLinPlan:
                 kept.append((t, zmap[t.out_off]))
         self._terms = tuple(kept)  # [(Term, (gi, k, fan_col))]
 
+        # w slots whose instruction only feeds dead z irreps never appear in
+        # a term: radial-folded backwards must zero the dw scratch for them
+        # (their packed Wr columns are NOT zero, so garbage would leak into dh)
+        covered_w = {t.b_off for t, _ in kept}
+        self.rad_has_dead_w = any(off not in covered_w for off in self.w_slots)
+
         # assert full coverage: every (gi, k, fan_col) slot written >= once
         written = {(gi, k, fc) for _, (gi, k, fc) in self._terms}
         for gi, g in enumerate(self.groups):
@@ -287,6 +324,46 @@ class DTPLinPlan:
                 )
             out.append(W * rows[:, None])
         return out
+
+    # ------------------------------------------------------- radial folding
+    def pack_radial(self, Wr: jnp.ndarray, offset: Optional[jnp.ndarray]):
+        """Pack the radial profile's final linear ``Wr [rad_hd, weight_numel]``
+        (+ optional ``offset [weight_numel]``, the reference RadialProfile's
+        separate bias, radial_func.py:39-41) into one block matrix per pack
+        group: ``M_p [p*rad_hp, group width]`` such that the kernel's
+        ``h_packed @ M_p`` emits the aligned+packed weight layout directly
+        (rows g*rad_hp+: the g-th packed row-group's columns; row offset
+        rad_hd carries the offset, matching h's appended ones column).
+        Runs in XLA, so dWr/doffset chain through its transpose."""
+        hd, hp = self.rad_hd, self.rad_hp
+        outs = []
+        for p, start, width in self.rad_ranges:
+            M = jnp.zeros((p * hp, width), Wr.dtype)
+            for off, (slot, mul, sp) in self.w_slots.items():
+                if not (start <= slot < start + width):
+                    continue
+                col0 = slot - start
+                for g in range(sp):
+                    M = jax.lax.dynamic_update_slice(
+                        M, Wr[:, off : off + mul], (g * hp, col0 + g * mul)
+                    )
+                    if offset is not None:
+                        M = jax.lax.dynamic_update_slice(
+                            M,
+                            offset[None, off : off + mul].astype(M.dtype),
+                            (g * hp + hd, col0 + g * mul),
+                        )
+            outs.append(M)
+        return outs
+
+    def pad_h(self, h: jnp.ndarray) -> jnp.ndarray:
+        """[E, rad_hd] hidden -> [E, rad_hp] kernel operand [h, 1, 0...]."""
+        E = h.shape[0]
+        ones = jnp.ones((E, 1), h.dtype)
+        return jnp.pad(
+            jnp.concatenate([h, ones], axis=-1),
+            ((0, 0), (0, self.rad_hp - self.rad_hd - 1)),
+        )
 
     # ------------------------------------------------------------- weights
     def pack_weights(self, head_weights: Sequence[Sequence[jnp.ndarray]]):
@@ -394,6 +471,64 @@ def _align_inputs(plan: DTPLinPlan, x_ref, w_ref, x_al, w_al, T):
                 ]
 
 
+def _radial_h_packed(plan, h_ref, p, T):
+    """[T, hp] h operand -> [T/p, p*hp] with row-group g on lane group g."""
+    if p == 1:
+        return h_ref[:]
+    r = T // p
+    return jnp.concatenate([h_ref[g * r : (g + 1) * r, :] for g in range(p)], axis=1)
+
+
+def _radial_w_fill(plan, T, h_ref, Wr_refs, w_al):
+    """Fill the aligned+packed w scratch from the radial hidden: one MXU dot
+    per pack group (replaces the per-slot w align copies AND the XLA-side
+    radial final matmul).  Pad lanes come out zero via Wr's zero columns."""
+    for pi, (p, start, width) in enumerate(plan.rad_ranges):
+        r = T // p
+        hp_op = _radial_h_packed(plan, h_ref, p, T)
+        w_al[:r, start : start + width] = jax.lax.dot_general(
+            hp_op,
+            Wr_refs[pi][:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w_al.dtype)
+
+
+def _radial_write_dw(plan, dw_acc, dw_al, T):
+    """Write per-slot dw accumulators into the aligned+packed scratch (the
+    layout _radial_w_fill produces), ready for the dh/dWr contractions."""
+    if plan.rad_has_dead_w:
+        dw_al[:] = jnp.zeros_like(dw_al)
+    for off, (slot, mul, p) in plan.w_slots.items():
+        if slot not in dw_acc:
+            continue
+        r = T // p
+        acc = dw_acc[slot]
+        dw_al[:r, slot : slot + acc.shape[1]] = acc.astype(dw_al.dtype)
+
+
+def _radial_dh(plan, T, dw_al, Wr_refs, dh_ref):
+    """dh = dw contracted against Wr per pack group (the h-leg transpose);
+    packed groups unpack their p*hp lanes back onto row groups."""
+    dh_ref[:] = jnp.zeros_like(dh_ref)
+    for pi, (p, start, width) in enumerate(plan.rad_ranges):
+        r = T // p
+        prod = jax.lax.dot_general(
+            dw_al[:r, start : start + width],
+            Wr_refs[pi][:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [r, p*hp]
+        hp = plan.rad_hp
+        if p == 1:
+            dh_ref[:] += prod.astype(dh_ref.dtype)
+        else:
+            for g in range(p):
+                dh_ref[g * r : (g + 1) * r, :] += prod[
+                    :, g * hp : (g + 1) * hp
+                ].astype(dh_ref.dtype)
+
+
 def _packed_col(plan, cols, colcache, col_off, p, mul, T):
     """Per-edge sh column in the packed row-group layout [T/p, p*mul]
     (group width is the slot's mul, which can be < 128//p when the pack
@@ -451,9 +586,15 @@ def _fma_z(plan: DTPLinPlan, cols, x_al, w_al, z_scr, T):
 
 def _fwd_kernel(plan: DTPLinPlan, T, save_z, n_ref, *refs):
     nG = len(plan.groups)
+    h_ref = Wr_refs = None
     if plan.fold_shared:
         x_ref, sh_ref, w_ref = refs[0], refs[1], None
         rest = refs[2:]
+    elif plan.radial_fold is not None:
+        x_ref, sh_ref, h_ref, w_ref = refs[0], refs[1], refs[2], None
+        nP = len(plan.rad_ranges)
+        Wr_refs = refs[3 : 3 + nP]
+        rest = refs[3 + nP :]
     else:
         x_ref, sh_ref, w_ref = refs[:3]
         rest = refs[3:]
@@ -495,6 +636,8 @@ def _fwd_kernel(plan: DTPLinPlan, T, save_z, n_ref, *refs):
             for zs in z_scr:
                 zs[:] = jnp.zeros_like(zs)
         _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        if h_ref is not None:
+            _radial_w_fill(plan, T, h_ref, Wr_refs, w_al)
         _fma_z(plan, sh_ref[:], x_al, w_al, z_scr, T)
         for gi, g in enumerate(plan.groups):
             res = jnp.dot(

@@ -114,14 +114,15 @@ class ScalarMLP(nn.Module):
     use_layer_norm: bool = True
     final_bias: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    fold_final: bool = False  # return (hidden, final kernel) instead of out
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         n = len(self.features)
         compute_dtype = x.dtype  # keep the input precision (bf16-friendly)
         for i, f in enumerate(self.features):
             last = i == n - 1
-            x = nn.Dense(
+            dense = nn.Dense(
                 f,
                 use_bias=(not last) or self.final_bias,
                 kernel_init=_torch_linear_init,
@@ -129,7 +130,18 @@ class ScalarMLP(nn.Module):
                 param_dtype=self.param_dtype,
                 dtype=compute_dtype,
                 name=f"dense{i}",
-            )(x)
+            )
+            if last and self.fold_final:
+                # extract the final kernel without applying it per row: the
+                # bias-free Dense maps the identity to its kernel (params and
+                # gradients identical to the unfolded path); callers fold the
+                # [fan, features[-1]] matrix into a fused kernel instead of
+                # materializing the per-edge output
+                assert not self.final_bias, "fold_final requires bias-free final"
+                fan = self.features[-2] if n > 1 else x.shape[-1]
+                kernel = dense(jnp.eye(fan, dtype=compute_dtype))
+                return x, kernel
+            x = dense(x)
             if not last:
                 if self.use_layer_norm:
                     x = nn.LayerNorm(

@@ -32,18 +32,29 @@ class RadialProfile(nn.Module):
     use_offset: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fold_final: bool = False):
+        """``fold_final=True`` skips the per-edge final matmul and returns
+        ``(hidden, final kernel, offset)`` for radial-folded fused kernels
+        (kernels/dtp_lin_pallas.DTPLinPlan radial_fold) — identical params
+        and gradients, the matmul just happens inside the TP kernel."""
         out = ScalarMLP(
             features=tuple(self.features),
             use_layer_norm=self.use_layer_norm,
             final_bias=not self.use_offset,
+            fold_final=fold_final,
             name="net",
         )(x)
+        offset = None
         if self.use_offset:
             # reference inits the offset to zero (radial_func.py:39-41)
             offset = self.param(
                 "offset", nn.initializers.zeros, (self.features[-1],)
             )
+        if fold_final:
+            assert self.use_offset, "fold_final requires the offset variant"
+            h, kernel = out
+            return h, kernel, offset
+        if offset is not None:
             out = out + offset.astype(out.dtype)
         return out
 

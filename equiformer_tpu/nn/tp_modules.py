@@ -123,18 +123,33 @@ def _fused_dtplin_enabled() -> bool:
     return True
 
 
-def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
+def _radial_fold_enabled() -> bool:
+    """Fold the radial MLP's final linear into the fused kernel (the per-edge
+    operand shrinks from weight_numel to the hidden width and the w align
+    phase becomes MXU dots); EQUIFORMER_TPU_FOLD_RADIAL=0 for A/Bs."""
+    import os
+
+    return os.environ.get("EQUIFORMER_TPU_FOLD_RADIAL", "1") not in ("0", "false")
+
+
+def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
+                     radial_hd=None):
     """Build the fused DTP+linear op when supported, else None.
 
     First-order models get the custom-vjp kernel (single fused backward,
     save-z); force models (higher_order_grads) get the leg-primitive family
     (kernels/dtp_lin_ho.py) whose JVP/transpose rules keep the fusion at
-    every AD order."""
+    every AD order.  ``radial_hd`` (the radial MLP's last hidden width)
+    requests radial folding when enabled."""
     if not (_pallas_enabled() and _fused_dtplin_enabled()):
         return None, None
     try:
         from ..kernels.dtp_lin_pallas import DTPLinPlan, make_fused_dtp_lin
 
+        rad_fold = (
+            radial_hd if (radial_hd and not internal_weights
+                          and _radial_fold_enabled()) else None
+        )
         if higher_order_grads:
             import os
 
@@ -151,6 +166,7 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads):
                 # force models differentiate through the SH of edge vectors
                 needs_dsh=True,
                 tile=128,
+                radial_fold=rad_fold,
             )
             # HO leg kernels carry no save-z output double-buffering, so
             # wider tiles than the first-order kernel fit: budget 11M keeps
@@ -300,6 +316,7 @@ class SeparableFCTP(nn.Module):
             [irreps_lin_output] + [Irreps(h) for h in self.extra_head_irreps],
             self.internal_weights,
             self.higher_order_grads,
+            radial_hd=(self.fc_neurons[-1] if self.fc_neurons else None),
         )
         if self.norm_layer is not None:
             self.norm = get_norm_layer(self.norm_layer)(irreps_lin_output)
@@ -347,7 +364,7 @@ class SeparableFCTP(nn.Module):
     ):
         w = None
         if self.fc_neurons is not None and edge_scalars is not None:
-            w = self.dtp_rad(edge_scalars)
+            w = self.dtp_weights(edge_scalars)
         out = self.dtp_lin(node_on_edge, edge_attr, w, n_edges=n_edges)
         if self.norm_layer is not None:
             out = self.norm(out, batch=batch, num_graphs=num_graphs)
@@ -357,6 +374,12 @@ class SeparableFCTP(nn.Module):
 
     # Pieces exposed for the nonlinear-message attention path
     def dtp_weights(self, edge_scalars):
+        """Per-edge TP weights — or, on the radial-folded fused path, the
+        ``(hidden, packed Wr)`` pair the fused op consumes directly."""
+        if self._fused_plan is not None and self._fused_plan.radial_fold is not None:
+            h, Wr, offset = self.dtp_rad(edge_scalars, fold_final=True)
+            Wrs = self._fused_plan.pack_radial(Wr, offset)
+            return (h, Wrs)
         return self.dtp_rad(edge_scalars)
 
     def apply_dtp(self, node_on_edge, edge_attr, weights):
@@ -412,7 +435,8 @@ class EdgeDegreeEmbedding(nn.Module):
         self.rad = RadialProfile(features=tuple(self.fc_neurons[1:]) + (plan.weight_numel,))
         self.proj = IrrepsLinear(plan.irreps_out, irreps_out, name="proj")
         self._fused_plan, self._fused = _make_fused_plan(
-            plan, [irreps_out], False, self.higher_order_grads
+            plan, [irreps_out], False, self.higher_order_grads,
+            radial_hd=self.fc_neurons[-1],
         )
 
     def __call__(self, edge_attr, edge_scalars, edge_src, edge_dst, edge_mask, num_nodes):
@@ -424,7 +448,11 @@ class EdgeDegreeEmbedding(nn.Module):
         num_edges = edge_src.shape[0]
         feat1 = self.exp(jnp.ones((1, 1), edge_attr.dtype))
         feat_e = jnp.broadcast_to(feat1, (num_edges, feat1.shape[-1]))
-        w = self.rad(edge_scalars)
+        if self._fused_plan is not None and self._fused_plan.radial_fold is not None:
+            h, Wr, offset = self.rad(edge_scalars, fold_final=True)
+            w = (h, self._fused_plan.pack_radial(Wr, offset))
+        else:
+            w = self.rad(edge_scalars)
         if self._fused is not None:
             dtype = edge_attr.dtype
             head_ws = [[None if x is None else x.astype(dtype)
