@@ -496,15 +496,26 @@ def _radial_w_fill(plan, T, h_ref, Wr_refs, w_al):
 
 def _radial_write_dw(plan, dw_acc, dw_al, T):
     """Write per-slot dw accumulators into the aligned+packed scratch (the
-    layout _radial_w_fill produces), ready for the dh/dWr contractions."""
-    if plan.rad_has_dead_w:
-        dw_al[:] = jnp.zeros_like(dw_al)
+    layout _radial_w_fill produces), ready for the dh/dWr contractions.
+
+    Every lane of every slot's [:T//p] rows must hold a real value or zero:
+    the following contractions run over the full lane range, and scratch
+    garbage would poison them (0 * NaN = NaN) even where Wr's packed columns
+    are zero."""
     for off, (slot, mul, p) in plan.w_slots.items():
-        if slot not in dw_acc:
-            continue
         r = T // p
-        acc = dw_acc[slot]
-        dw_al[:r, slot : slot + acc.shape[1]] = acc.astype(dw_al.dtype)
+        acc = dw_acc.get(slot)
+        if acc is None:  # dead slot: instruction feeds no live z irrep
+            dw_al[:r, slot : slot + LANE] = jnp.zeros_like(
+                dw_al[:r, slot : slot + LANE]
+            )
+            continue
+        lanes = acc.shape[1]
+        if lanes < LANE:  # capped pack factor: zero the pad lanes
+            dw_al[:r, slot + lanes : slot + LANE] = jnp.zeros_like(
+                dw_al[:r, slot + lanes : slot + LANE]
+            )
+        dw_al[:r, slot : slot + lanes] = acc.astype(dw_al.dtype)
 
 
 def _radial_dh(plan, T, dw_al, Wr_refs, dh_ref):

@@ -144,3 +144,65 @@ def test_rad_fused_padding_and_tile_skip():
     scale = max(1.0, float(jnp.max(jnp.abs(gr))))
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
                                atol=5e-4 * scale)
+
+
+def test_separable_fctp_radial_fold_matches_unfused(monkeypatch):
+    """Module-level integration: SeparableFCTP with the radial-folded fused
+    kernel (EQUIFORMER_TPU_FOLD_RADIAL=1, pallas interpret) must match the
+    fold-off fused path on the same params — values and the force-pattern
+    gradient through (x, sh)."""
+    import jax
+    from equiformer_tpu.core.irreps import Irreps
+    from equiformer_tpu.core.spherical import spherical_harmonics
+    from equiformer_tpu.nn.tp_modules import SeparableFCTP
+
+    irr = Irreps("8x0e+4x1e")
+    sh_irr = Irreps("1x0e+1x1e")
+    e = 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(e, irr.dim)), jnp.float32)
+    vec = jnp.asarray(rng.normal(size=(e, 3)), jnp.float32)
+    sh = spherical_harmonics([0, 1], vec)
+    scal = jnp.asarray(rng.normal(size=(e, 8)), jnp.float32)
+
+    monkeypatch.setenv("EQUIFORMER_TPU_PALLAS", "1")
+
+    def build(fold):
+        monkeypatch.setenv("EQUIFORMER_TPU_FOLD_RADIAL", fold)
+        sep = SeparableFCTP(
+            irr, sh_irr, irr, fc_neurons=(8, 8), use_activation=False,
+            norm_layer=None, internal_weights=False, higher_order_grads=True,
+        )
+        return sep
+
+    params = build("0").init(jax.random.PRNGKey(0), x, sh, scal)
+
+    def run(fold, x, sh):
+        sep = build(fold)
+        return sep.apply(params, x, sh, scal)
+
+    out_off = run("0", x, sh)
+    out_on = run("1", x, sh)
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), atol=2e-5
+    )
+
+    def floss(fold):
+        def energy(x, sh):
+            return jnp.sum(jnp.tanh(run(fold, x, sh)))
+
+        def train_loss(x, sh):
+            fx, fsh = jax.grad(energy, argnums=(0, 1))(x, sh)
+            return jnp.sum(fx**2) + jnp.sum(fsh**2)
+
+        return train_loss
+
+    l_off = float(floss("0")(x, sh))
+    l_on = float(floss("1")(x, sh))
+    np.testing.assert_allclose(l_on, l_off, rtol=2e-4)
+    g_off = jax.grad(floss("0"))(x, sh)
+    g_on = jax.grad(floss("1"))(x, sh)
+    scale = max(1.0, float(jnp.max(jnp.abs(g_off))))
+    np.testing.assert_allclose(
+        np.asarray(g_on), np.asarray(g_off), atol=1e-3 * scale
+    )
