@@ -1141,7 +1141,14 @@ def auto_tile(plan: DTPLinPlan, start: int = 128,
     zw = sum(g.ir.dim * (g.fan_pad + g.cols) for g in plan.groups)
     d_we = plan.rad_hp if plan.radial_fold is not None else plan.d_w
     width = plan.d_x_al + plan.d_w_al + plan.d_out + plan.d_x + d_we + zw
-    while tile > 32 and tile * width * 4 > budget:
+    # tile-independent VMEM: the packed radial Wr blocks ride along as whole-
+    # array operands (double-buffered bf16 = the same x4 calibration factor).
+    # Anchor: the folded L3 plan at tile 128 measured a 22.47M scoped-vmem
+    # OOM — est 9.64M + 5.25M fixed must push it past an 11M budget to 64.
+    fixed = 0
+    if plan.radial_fold is not None:
+        fixed = sum(p * plan.rad_hp * w for (p, _, w) in plan.rad_ranges)
+    while tile > 32 and tile * width * 4 + fixed * 4 > budget:
         tile //= 2
     return tile
 

@@ -672,20 +672,34 @@ def _bwd_needs_x(plan: DTPLinPlan, save_z) -> bool:
 
 def _bwd_kernel(plan: DTPLinPlan, T, save_z, n_ref, *refs):
     nG = len(plan.groups)
+    rad = plan.radial_fold is not None
+    nP = len(plan.rad_ranges) if rad else 0
     has_x = _bwd_needs_x(plan, save_z)
     it = iter(refs)
     x_ref = next(it) if has_x else None
     sh_ref = next(it)
-    w_ref = None if plan.fold_shared else next(it)
+    h_ref, Wr_refs = None, ()
+    if rad:
+        h_ref = next(it)
+        Wr_refs = [next(it) for _ in range(nP)]
+        w_ref = None
+    else:
+        w_ref = None if plan.fold_shared else next(it)
     W_refs = [next(it) for _ in range(nG)]
     g_ref = next(it)
     z_in = [next(it) for _ in range(nG)] if save_z else None
     dx_ref = next(it)
     dsh_ref = next(it)
-    dw_ref = None if plan.fold_shared else next(it)
+    dh_ref, dWr_refs = None, ()
+    if rad:
+        dh_ref = next(it)
+        dWr_refs = [next(it) for _ in range(nP)]
+        dw_ref = None
+    else:
+        dw_ref = None if plan.fold_shared else next(it)
     dW_refs = [next(it) for _ in range(nG)]
     x_al = next(it) if has_x else None
-    w_al = None if plan.fold_shared else next(it)
+    w_al = next(it) if (rad or not plan.fold_shared) else None
     if save_z:
         z_scr = z_in  # input blocks double as the MXU operand
     else:
@@ -712,24 +726,34 @@ def _bwd_kernel(plan: DTPLinPlan, T, save_z, n_ref, *refs):
         dsh_ref[:] = jnp.zeros_like(dsh_ref)
         if dw_ref is not None:
             dw_ref[:] = jnp.zeros_like(dw_ref)
+        if dh_ref is not None:
+            dh_ref[:] = jnp.zeros_like(dh_ref)
 
         @pl.when(i == 0)
         def _():
             for gi in range(nG):
                 dW_refs[gi][:] = jnp.zeros_like(dW_refs[gi])
+            for pi in range(nP):
+                dWr_refs[pi][:] = jnp.zeros_like(dWr_refs[pi])
 
     @pl.when(active)
     def _():
         _bwd_body(
             plan, T, save_z, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref,
             dsh_ref, dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i,
+            h_ref=h_ref, Wr_refs=Wr_refs, dh_ref=dh_ref, dWr_refs=dWr_refs,
         )
 
 
 def _bwd_body(plan, T, save_z, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref,
-              dsh_ref, dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i):
+              dsh_ref, dw_ref, dW_refs, x_al, w_al, z_scr, dz_scr, g_scr, i,
+              h_ref=None, Wr_refs=(), dh_ref=None, dWr_refs=()):
     nG = len(plan.groups)
     _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+    if h_ref is not None:
+        # radial fold: materialize the per-edge w in the aligned scratch from
+        # the hidden activation (one MXU dot per pack group)
+        _radial_w_fill(plan, T, h_ref, Wr_refs, w_al)
     cols = sh_ref[:]
     if not save_z:
         # recompute z in VMEM (low-memory variant)
@@ -837,6 +861,31 @@ def _bwd_body(plan, T, save_z, x_ref, sh_ref, w_ref, W_refs, g_ref, dx_ref,
                 ).astype(dsh_ref.dtype)
     if plan.fold_shared:
         return  # dw comes from the XLA-side W row-scaling
+    if dh_ref is not None:
+        # radial fold: dw never leaves VMEM — write it into the (now dead)
+        # w scratch in the aligned+packed layout, then contract it against
+        # h for dWr and against Wr for dh (both MXU dots per pack group)
+        _radial_write_dw(plan, dw_acc, w_al, T)
+        for pi, (p, start, width) in enumerate(plan.rad_ranges):
+            r = T // p
+            hp_op = _radial_h_packed(plan, h_ref, p, T)
+            dWr_c = jax.lax.dot_general(
+                hp_op,
+                w_al[:r, start : start + width],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(i == 0)
+            def _(pi=pi, dWr_c=dWr_c):
+                dWr_refs[pi][:] = dWr_c
+
+            @pl.when(i > 0)
+            def _(pi=pi, dWr_c=dWr_c):
+                dWr_refs[pi][:] += dWr_c
+
+        _radial_dh(plan, T, w_al, Wr_refs, dh_ref)
+        return
     # shared weights always take the folded path (fold_shared ==
     # shared_weights in __init__), so dw here is per-edge
     dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -929,6 +978,17 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
             ] + [_shared_spec(W.shape) for W in Ws]
             w_scratch = []
             operands = (x, sh) + tuple(Ws)
+        elif plan.radial_fold is not None:
+            h, Wrs = w
+            in_specs = [
+                pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+                pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
+                pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0)),
+            ] + [_shared_spec(M.shape) for M in Wrs] + [
+                _shared_spec(W.shape) for W in Ws
+            ]
+            w_scratch = [pltpu.VMEM((T, plan.d_w_al), x.dtype)]
+            operands = (x, sh, h) + tuple(Wrs) + tuple(Ws)
         else:
             in_specs = [
                 pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
@@ -982,13 +1042,20 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
         )
         dW_specs = tuple(_shared_spec((gr.fan_pad, gr.cols)) for gr in plan.groups)
 
+        rad = plan.radial_fold is not None
         in_specs, operands = [], []
         if has_x:
             in_specs.append(pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)))
             operands.append(x)
         in_specs.append(pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)))
         operands.append(sh)
-        if not plan.fold_shared:
+        if rad:
+            h, Wrs = w
+            in_specs.append(pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0)))
+            operands.append(h)
+            in_specs += [_shared_spec(M.shape) for M in Wrs]
+            operands += list(Wrs)
+        elif not plan.fold_shared:
             in_specs.append(w_spec(E, T))
             operands.append(w)
         in_specs += [_shared_spec(W.shape) for W in Ws]
@@ -1007,7 +1074,17 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
             pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
             pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
         ]
-        if not plan.fold_shared:
+        if rad:
+            out_shape.append(jax.ShapeDtypeStruct((E, plan.rad_hp), h.dtype))
+            out_specs.append(
+                pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0))
+            )
+            for (p, _, width), M in zip(plan.rad_ranges, Wrs):
+                out_shape.append(
+                    jax.ShapeDtypeStruct((p * plan.rad_hp, width), jnp.float32)
+                )
+                out_specs.append(_shared_spec((p * plan.rad_hp, width)))
+        elif not plan.fold_shared:
             out_shape.append(jax.ShapeDtypeStruct((E, plan.d_w), w.dtype))
             out_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
         out_shape += list(dW_shapes)
@@ -1016,7 +1093,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
         scratch = []
         if has_x:
             scratch.append(pltpu.VMEM((T, plan.d_x_al), dtype))
-        if not plan.fold_shared:
+        if rad or not plan.fold_shared:
             scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
         scratch += z_scratch + dz_scratch + g_scratch
 
@@ -1067,6 +1144,51 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
                 sh = jnp.pad(sh, ((0, pad), (0, 0)))
             n = _n_scalar(n_edges, E)
             out = fused_nw(n, x, sh, *Ws)
+            return out[:E] if pad else out
+
+        return call
+
+    if plan.radial_fold is not None:
+
+        @jax.custom_vjp
+        def fused_rad(n, x, sh, h, Wrs, Ws):
+            res = fwd_call(x, sh, (h, Wrs), Ws, n)
+            return res[0] if save_z else res
+
+        def fr_fwd(n, x, sh, h, Wrs, Ws):
+            res = fwd_call(x, sh, (h, Wrs), Ws, n)
+            if save_z:
+                return res[0], (n, x, sh, h, Wrs, Ws, res[1:])
+            return res, (n, x, sh, h, Wrs, Ws, None)
+
+        def fr_bwd(res, g):
+            n, x, sh, h, Wrs, Ws, zs = res
+            outs = bwd_call(x, sh, (h, Wrs), Ws, g, zs, n)
+            dx, dsh, dh = outs[0], outs[1], outs[2]
+            nP = len(Wrs)
+            dWrs = tuple(
+                d.astype(M.dtype) for d, M in zip(outs[3 : 3 + nP], Wrs)
+            )
+            dWs = tuple(
+                d.astype(W.dtype) for d, W in zip(outs[3 + nP :], Ws)
+            )
+            return (None, dx, dsh, dh, dWrs, dWs)
+
+        fused_rad.defvjp(fr_fwd, fr_bwd)
+
+        def call(x, sh, w, Ws, n_edges=None):
+            """w = (h, Wrs): pad h to [E_pad, rad_hp], run, unpad.  AD wrt
+            the raw (h, Wr, offset) chains through pad_h/pack_radial in XLA."""
+            E = x.shape[0]
+            pad = (-E) % _t_eff(x.dtype)
+            h, Wrs = w
+            h = plan.pad_h(h.astype(x.dtype))
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0)))
+                sh = jnp.pad(sh, ((0, pad), (0, 0)))
+                h = jnp.pad(h, ((0, pad), (0, 0)))
+            n = _n_scalar(n_edges, E)
+            out = fused_rad(n, x, sh, h, tuple(Wrs), tuple(Ws))
             return out[:E] if pad else out
 
         return call

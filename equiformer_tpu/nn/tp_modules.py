@@ -191,6 +191,10 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
             # dsh transpose
             needs_dsh=False,
             tile=tile,
+            # external-weight (radial-profile) call sites fold the radial
+            # MLP's final linear into the kernel: the [E, weight_numel]
+            # operand shrinks to the hidden width in fwd AND bwd
+            radial_fold=rad_fold,
         )
         from ..kernels.dtp_lin_ho import auto_tile
 

@@ -206,3 +206,97 @@ def test_separable_fctp_radial_fold_matches_unfused(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_on), np.asarray(g_off), atol=1e-3 * scale
     )
+
+
+@pytest.mark.parametrize("save_z", [True, False], ids=["save-z", "remat-z"])
+def test_rad_fused_first_order(save_z):
+    """The first-order custom-vjp kernel (QM9/OC20 path) with radial folding:
+    values and the single fused backward's cotangents (dx, dh, dWr, doffset,
+    dW) vs the unfused composition."""
+    from equiformer_tpu.kernels.dtp_lin_pallas import make_fused_dtp_lin
+
+    x, sh, _ = _data()
+    h, Wr, off = _rad_data()
+    heads = [LIN_OUT, ALPHA_OUT]
+    plan = DTPLinPlan(TP, heads, fold_rescale=True, shared_weights=False,
+                      needs_dsh=False, radial_fold=HD)
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True, save_z=save_z)
+    hws = [_head_ws(hh, 20 + i) for i, hh in enumerate(heads)]
+
+    def f_fused(x, h, Wr, off, head_w):
+        Ws = plan.pack_weights(head_w)
+        Wrs = plan.pack_radial(Wr, off)
+        return plan.split_output(fused(x, sh, (h, Wrs), Ws))
+
+    def f_ref(x, h, Wr, off, head_w):
+        w = h @ Wr + off
+        z = TP.apply(x, sh, w, scale_weights=True)
+        return [_ref_lin(z, hh, hw) for hh, hw in zip(heads, head_w)]
+
+    for a, b in zip(f_fused(x, h, Wr, off, hws), f_ref(x, h, Wr, off, hws)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def loss(f):
+        return lambda *args: sum(jnp.sum(o**2) for o in f(*args))
+
+    gf = jax.grad(loss(f_fused), argnums=(0, 1, 2, 3, 4))(x, h, Wr, off, hws)
+    gr = jax.grad(loss(f_ref), argnums=(0, 1, 2, 3, 4))(x, h, Wr, off, hws)
+    names = ("dx", "dh", "dWr", "doffset", "dW")
+    for name, a, b in zip(names, gf, gr):
+        fa = jax.tree_util.tree_leaves(a)
+        fb = jax.tree_util.tree_leaves(b)
+        for aa, bb in zip(fa, fb):
+            scale = max(1.0, float(jnp.max(jnp.abs(bb))))
+            np.testing.assert_allclose(
+                np.asarray(aa), np.asarray(bb), atol=5e-4 * scale,
+                err_msg=name,
+            )
+
+
+def test_rad_fused_first_order_padding_and_tile_skip():
+    """First-order radial-folded kernel: non-multiple-of-tile edge counts +
+    n_edges tile skipping, forward and backward."""
+    from equiformer_tpu.kernels.dtp_lin_pallas import make_fused_dtp_lin
+
+    x, sh, _ = _data()
+    h, Wr, off = _rad_data()
+    x, sh, h = x[:200], sh[:200], h[:200]
+    n_real = 150
+    mask = jnp.arange(200) < n_real
+    x = jnp.where(mask[:, None], x, 0)
+    sh = jnp.where(mask[:, None], sh, 0)
+    h = jnp.where(mask[:, None], h, 0)
+    plan = DTPLinPlan(TP, [LIN_OUT], fold_rescale=True, shared_weights=False,
+                      needs_dsh=False, radial_fold=HD)
+    fused = make_fused_dtp_lin(plan, tile=128, interpret=True)
+    hws = [_head_ws(LIN_OUT, 3)]
+    Ws = plan.pack_weights(hws)
+    Wrs = plan.pack_radial(Wr, off)
+
+    out = fused(x, sh, (h, Wrs), Ws, n_edges=n_real)
+    w = h @ Wr + off
+    z = TP.apply(x, sh, w, scale_weights=True)
+    ref = jnp.where(mask[:, None], _ref_lin(z, LIN_OUT, hws[0]), 0)
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(mask[:, None], out, 0)), np.asarray(ref),
+        atol=5e-5,
+    )
+
+    def loss(x, h, Wr, off):
+        Wrs = plan.pack_radial(Wr, off)
+        o = fused(x, sh, (h, Wrs), Ws, n_edges=n_real)
+        return jnp.sum(jnp.where(mask[:, None], o, 0) ** 2)
+
+    def loss_ref(x, h, Wr, off):
+        w = h @ Wr + off
+        z = TP.apply(x, sh, w, scale_weights=True)
+        o = _ref_lin(z, LIN_OUT, hws[0])
+        return jnp.sum(jnp.where(mask[:, None], o, 0) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(x, h, Wr, off)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, h, Wr, off)
+    for name, a, b in zip(("dx", "dh", "dWr", "doffset"), g, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4 * scale, err_msg=name
+        )
