@@ -126,10 +126,17 @@ def _fused_dtplin_enabled() -> bool:
 def _radial_fold_enabled() -> bool:
     """Fold the radial MLP's final linear into the fused kernel (the per-edge
     operand shrinks from weight_numel to the hidden width and the w align
-    phase becomes MXU dots); EQUIFORMER_TPU_FOLD_RADIAL=0 for A/Bs."""
+    phase becomes MXU dots).  OFF by default — a measured negative result:
+    the packed Wr fill dots do dense MXU work over a block-sparse layout
+    (only mul of each slot's LANE columns and hd+1 of p*hp rows are real,
+    ~4x the FLOPs of XLA's exact [E, hd] @ [hd, weight_numel] matmul) and
+    run in BOTH fwd and bwd, vs XLA computing w once and saving it.  On-chip
+    A/Bs: QM9 2065.8 folded vs 2329.5 unfolded (-11%); MD17 99.2 vs 162.4
+    (-39%, the fold's Wr VMEM also forces tile 64 on L3 plans).
+    EQUIFORMER_TPU_FOLD_RADIAL=1 re-enables for A/Bs."""
     import os
 
-    return os.environ.get("EQUIFORMER_TPU_FOLD_RADIAL", "1") not in ("0", "false")
+    return os.environ.get("EQUIFORMER_TPU_FOLD_RADIAL", "0") not in ("0", "false")
 
 
 def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
@@ -158,6 +165,16 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
                 return None, None
             from ..kernels.dtp_lin_ho import auto_tile, make_fused_dtp_lin_ho
 
+            # radial folding is OFF by default on the higher-order path: the
+            # leg kernels re-materialize w from h at EVERY AD order and the
+            # Wr blocks' VMEM forces tile 64 for L3 plans — on-chip MD17 A/B
+            # measured 99.15 g/s folded vs 162.4 unfolded.  The first-order
+            # path (below) keeps it on: one fwd + one fused bwd, w operand
+            # shrinks in both.  EQUIFORMER_TPU_FOLD_RADIAL_HO=1 re-enables.
+            if os.environ.get("EQUIFORMER_TPU_FOLD_RADIAL_HO", "0") in (
+                "0", "false",
+            ):
+                rad_fold = None
             fplan = DTPLinPlan(
                 plan,
                 head_irreps,
@@ -180,8 +197,13 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
         # folded shared-weight kernels carry no w scratch, so a 256 tile fits
         # VMEM and measures fastest (tile_sweep.py); external-weight kernels
         # stay at 128 (256 exceeds VMEM); wide (L3) plans auto-shrink — the
-        # L3 external plan at tile 128 measured a 16.43M scoped-vmem OOM
-        tile = 256 if internal_weights else 128
+        # L3 external plan at tile 128 measured a 16.43M scoped-vmem OOM.
+        # EQUIFORMER_TPU_FO_TILE overrides the external-weight tile for A/Bs
+        # (the compact fan layout + save-z halved the calibration-era VMEM).
+        import os
+
+        fo_tile = int(os.environ.get("EQUIFORMER_TPU_FO_TILE", "0"))
+        tile = 256 if internal_weights else (fo_tile or 128)
         fplan = DTPLinPlan(
             plan,
             head_irreps,
@@ -198,7 +220,9 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
         )
         from ..kernels.dtp_lin_ho import auto_tile
 
-        tile = auto_tile(fplan, tile, budget=9 * 2**20)
+        # an explicit FO_TILE bypasses the budget heuristic (A/B runs)
+        if not (fo_tile and not internal_weights):
+            tile = auto_tile(fplan, tile, budget=9 * 2**20)
         return fplan, make_fused_dtp_lin(fplan, tile=tile)
     except (ValueError, AssertionError):
         return None, None

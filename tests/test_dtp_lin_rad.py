@@ -169,6 +169,8 @@ def test_separable_fctp_radial_fold_matches_unfused(monkeypatch):
 
     def build(fold):
         monkeypatch.setenv("EQUIFORMER_TPU_FOLD_RADIAL", fold)
+        # the HO path defaults fold off (on-chip regression); force it here
+        monkeypatch.setenv("EQUIFORMER_TPU_FOLD_RADIAL_HO", fold)
         sep = SeparableFCTP(
             irr, sh_irr, irr, fc_neurons=(8, 8), use_activation=False,
             norm_layer=None, internal_weights=False, higher_order_grads=True,
@@ -299,4 +301,53 @@ def test_rad_fused_first_order_padding_and_tile_skip():
         scale = max(1.0, float(jnp.max(jnp.abs(b))))
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4 * scale, err_msg=name
+        )
+
+
+def test_separable_fctp_radial_fold_first_order(monkeypatch):
+    """Module-level integration for the FIRST-ORDER path (QM9/OC20,
+    higher_order_grads=False): fold-on vs fold-off values and parameter
+    gradients through the custom-vjp fused backward."""
+    import jax
+    from equiformer_tpu.core.irreps import Irreps
+    from equiformer_tpu.core.spherical import spherical_harmonics
+    from equiformer_tpu.nn.tp_modules import SeparableFCTP
+
+    irr = Irreps("8x0e+4x1e")
+    sh_irr = Irreps("1x0e+1x1e")
+    e = 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(e, irr.dim)), jnp.float32)
+    vec = jnp.asarray(rng.normal(size=(e, 3)), jnp.float32)
+    sh = spherical_harmonics([0, 1], vec)
+    scal = jnp.asarray(rng.normal(size=(e, 8)), jnp.float32)
+
+    monkeypatch.setenv("EQUIFORMER_TPU_PALLAS", "1")
+
+    def build(fold):
+        monkeypatch.setenv("EQUIFORMER_TPU_FOLD_RADIAL", fold)
+        return SeparableFCTP(
+            irr, sh_irr, irr, fc_neurons=(8, 8), use_activation=False,
+            norm_layer=None, internal_weights=False, higher_order_grads=False,
+        )
+
+    params = build("0").init(jax.random.PRNGKey(0), x, sh, scal)
+
+    def loss(fold):
+        def f(params):
+            return jnp.sum(build(fold).apply(params, x, sh, scal) ** 2)
+        return f
+
+    l_off, g_off = jax.value_and_grad(loss("0"))(params)
+    l_on, g_on = jax.value_and_grad(loss("1"))(params)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=2e-5)
+    key = lambda t: str(t[0])
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_on), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(g_off), key=key),
+    ):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4 * scale,
+            err_msg=str(ka),
         )
