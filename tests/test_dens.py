@@ -105,6 +105,7 @@ def test_dens_outputs_mixing_and_equivariance():
     assert np.max(np.abs(np.asarray(dyr) - np.asarray(dy) @ R.T)) < 1e-6
 
 
+@pytest.mark.slow
 def test_dens_without_noise_returns_plain_forces():
     model = _tiny_dens()
     b = _batch()

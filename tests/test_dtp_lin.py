@@ -101,6 +101,8 @@ def test_fused_dtp_lin_matches_composition(shared, heads, save_z):
             )
 
 
+@pytest.mark.slow  # 38s on one core; padding semantics also covered by
+# test_padding_to_tile and the HO padding/tile-skip test
 def test_fused_dtp_lin_edge_padding():
     """Non-multiple-of-tile edge counts go through the pad/unpad wrapper."""
     x, sh, w = _data()

@@ -39,7 +39,9 @@ def _pair(shared, heads):
         # slow tier (the fast suite runs on ONE cpu core)
         pytest.param(False, [LIN_OUT], marks=pytest.mark.slow),
         (False, [LIN_OUT, ALPHA_OUT]),
-        (True, [LIN_OUT]),
+        # shared-w folding is exercised by the (faster) transpose/JVP tests;
+        # the full value+grad sweep rides the slow tier (87s on one core)
+        pytest.param(True, [LIN_OUT], marks=pytest.mark.slow),
     ],
     ids=["single", "two-head", "shared-w"],
 )
@@ -133,6 +135,7 @@ def test_ho_fused_padding_and_tile_skip():
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4 * scale)
 
 
+@pytest.mark.slow
 def test_ho_fused_w_grad_through_folded_shared():
     """Shared weights fold into W outside the kernel; dw must chain through
     scale_shared_weights at second order too."""
@@ -174,6 +177,7 @@ def test_ho_fused_forward_mode_jvp():
                                atol=3e-4 * scale)
 
 
+@pytest.mark.slow
 def test_edge3_consolidation_shrinks_backward(monkeypatch):
     """Structural check (no hardware needed): with the grouped F_edge3 JVP,
     the force-pass jaxpr carries ONE combined bwd3 eqn per fused op instead

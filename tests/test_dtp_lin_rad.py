@@ -12,6 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the radial fold is a default-OFF A/B option (measured slower on chip,
+# CLAUDE.md round-4); its full interpret-mode sweep costs ~7.5 min on the
+# single-core container — whole module rides the slow tier
+pytestmark = pytest.mark.slow
+
 from equiformer_tpu.kernels.dtp_lin_pallas import DTPLinPlan
 from equiformer_tpu.kernels.dtp_lin_ho import make_fused_dtp_lin_ho
 from tests.test_dtp_lin import (

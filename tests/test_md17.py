@@ -105,6 +105,7 @@ def test_forces_are_conservative_gradient():
     assert abs(fd - float(f[i, k])) < 1e-5
 
 
+@pytest.mark.slow
 def test_md17_training_double_backward():
     """A few steps of energy+force training decrease the joint loss (this
     exercises grad-of-grad through the whole network)."""

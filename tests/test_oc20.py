@@ -173,6 +173,7 @@ def test_oc20_atom_edge_attr_and_registry():
     assert np.all(np.isfinite(np.asarray(e)))
 
 
+@pytest.mark.slow  # 33s integration step; components unit-tested separately
 def test_oc20_training_step_with_aux_and_noisy_nodes():
     from equiformer_tpu.train import (
         TrainState,
