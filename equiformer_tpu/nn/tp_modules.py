@@ -218,6 +218,27 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
             # operand shrinks to the hidden width in fwd AND bwd
             radial_fold=rad_fold,
         )
+        # kron-basis MXU cast (A/B): the CG contraction rides the MXU as
+        # per-(group, k) dots against a coefficient-folded G built from the
+        # packed W in XLA — no z scratch, no save-z residual.  Incompatible
+        # with radial folding (G replaces the packed W entirely).
+        if os.environ.get("EQUIFORMER_TPU_KRON_G", "0") not in ("0", "false"):
+            from ..kernels.dtp_lin_kron import (
+                make_fused_dtp_lin_kron,
+                kron_auto_tile,
+                KronMeta,
+            )
+
+            kplan = DTPLinPlan(
+                plan,
+                head_irreps,
+                fold_rescale=not internal_weights,
+                shared_weights=internal_weights,
+                needs_dsh=False,
+                tile=tile,
+            )
+            ktile = kron_auto_tile(KronMeta(kplan), fo_tile or tile)
+            return kplan, make_fused_dtp_lin_kron(kplan, tile=ktile)
         from ..kernels.dtp_lin_ho import auto_tile
 
         # an explicit FO_TILE bypasses the budget heuristic (A/B runs)

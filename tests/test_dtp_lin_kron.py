@@ -1,0 +1,150 @@
+"""Kron-basis fused DTP+linear (kernels/dtp_lin_kron.py) vs the unfused
+composition — values and first-order gradients (dx, dw, dW; the kron path is
+needs_dsh=False by construction, like the QM9/OC20 model plans), interpret
+mode on CPU.
+
+Reference semantics: DepthwiseTensorProduct -> LinearRS inside SeparableFCTP
+(/root/reference/nets/graph_attention_transformer.py:186-248)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equiformer_tpu.core import Irreps, depthwise_tp
+from equiformer_tpu.kernels.dtp_lin_kron import make_fused_dtp_lin_kron
+from equiformer_tpu.kernels.dtp_lin_pallas import DTPLinPlan
+
+from test_dtp_lin import IRR, LIN_OUT, SH, TP, _data, _head_ws, _ref_lin
+
+ALPHA_OUT = Irreps("6x0e")
+
+
+def test_kron_meta_layout():
+    """Fast structural check: every output component has a contiguous kron
+    range, G rows equal the per-group range total, and every plan term
+    appears exactly once across the (group, k) column lists."""
+    from equiformer_tpu.kernels.dtp_lin_kron import KronMeta
+
+    plan = DTPLinPlan(TP, [LIN_OUT, ALPHA_OUT], needs_dsh=False)
+    meta = KronMeta(plan)
+    n_q = 0
+    for gi, g in enumerate(plan.groups):
+        acc = 0
+        for k in range(g.ir.dim):
+            rs, re = meta.k_ranges[(gi, k)]
+            assert rs == acc
+            qs = meta.qcols[(gi, k)]
+            assert re - rs == sum(q.width for q in qs)
+            n_q += len(qs)
+            acc = re
+        assert meta.g_rows[gi] == acc
+    assert n_q == len(plan._terms)
+    Gs = meta.build_G(plan.pack_weights([_head_ws(LIN_OUT, 0), _head_ws(ALPHA_OUT, 1)]))
+    for gi, g in enumerate(plan.groups):
+        assert Gs[gi].shape == (meta.g_rows[gi], g.cols)
+
+
+@pytest.mark.slow  # ~60s/case interpret mode on one core
+@pytest.mark.parametrize(
+    "shared,heads",
+    [
+        (False, [LIN_OUT]),
+        (False, [LIN_OUT, ALPHA_OUT]),
+        (True, [LIN_OUT]),
+    ],
+    ids=["single", "two-head", "shared-w"],
+)
+def test_kron_matches_composition(shared, heads):
+    x, sh, w = _data()
+    plan = DTPLinPlan(
+        TP, heads, fold_rescale=True, shared_weights=shared, needs_dsh=False
+    )
+    fused = make_fused_dtp_lin_kron(plan, tile=128, interpret=True)
+    hws = [_head_ws(h, 10 + i) for i, h in enumerate(heads)]
+    ww = w[0] if shared else w
+
+    def f_fused(x, ww, hws):
+        return plan.split_output(fused(x, sh, ww, plan.pack_weights(hws)))
+
+    def f_ref(x, ww, hws):
+        z = TP.apply(x, sh, ww if not shared else ww[None, :], scale_weights=True)
+        return [_ref_lin(z, h, hw) for h, hw in zip(heads, hws)]
+
+    for a, b in zip(f_fused(x, ww, hws), f_ref(x, ww, hws)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def loss(f):
+        return lambda *args: sum(jnp.sum(o**2) for o in f(*args))
+
+    gf = jax.grad(loss(f_fused), argnums=(0, 1, 2))(x, ww, hws)
+    gr = jax.grad(loss(f_ref), argnums=(0, 1, 2))(x, ww, hws)
+    for name, a, b in zip(("dx", "dw", "dW"), gf, gr):
+        for u, v in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), atol=2e-4 * scale, err_msg=name
+            )
+
+
+@pytest.mark.slow
+def test_kron_edge_padding_and_tile_skip():
+    """Non-multiple-of-tile edge counts + an n_edges mask: padded tail edges
+    produce zeros and contribute nothing to dW."""
+    x, sh, w = _data()
+    x, sh, w = x[:200], sh[:200], w[:200]
+    plan = DTPLinPlan(TP, [LIN_OUT], needs_dsh=False)
+    fused = make_fused_dtp_lin_kron(plan, tile=128, interpret=True)
+    hws = [_head_ws(LIN_OUT, 3)]
+    out = plan.split_output(fused(x, sh, w, plan.pack_weights(hws)))[0]
+    z = TP.apply(x, sh, w, scale_weights=True)
+    ref = _ref_lin(z, LIN_OUT, hws[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # mask the last 80 edges: fused output beyond n_edges is zeroed by the
+    # tile skip only at tile granularity, so compare on the live region and
+    # check dW excludes the masked tail by zeroing the ref inputs there
+    n_edges = 128
+    out_m = plan.split_output(
+        fused(x, sh, w, plan.pack_weights(hws), n_edges=n_edges)
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(out_m[:n_edges]), np.asarray(ref[:n_edges]), atol=2e-5
+    )
+
+    def loss_fused(hws):
+        o = plan.split_output(
+            fused(x, sh, w, plan.pack_weights(hws), n_edges=n_edges)
+        )[0]
+        return jnp.sum(o[:n_edges] ** 2)
+
+    def loss_ref(hws):
+        z = TP.apply(x[:n_edges], sh[:n_edges], w[:n_edges], scale_weights=True)
+        return jnp.sum(_ref_lin(z, LIN_OUT, hws[0]) ** 2)
+
+    gf = jax.grad(loss_fused)(hws)
+    gr = jax.grad(loss_ref)(hws)
+    for u, v in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        scale = max(1.0, float(jnp.max(jnp.abs(v))))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-4 * scale)
+
+
+@pytest.mark.slow
+def test_kron_multi_sub_slot():
+    """mul > 128 blocks split into 128-lane sub-slots (the OC20 256x0e
+    layout); kron columns and G rows must shift together."""
+    irr = Irreps("256x0e+8x1e")
+    tp = depthwise_tp(irr, SH, irr)
+    lin_out = Irreps("200x0e+8x1e")
+    plan = DTPLinPlan(tp, [lin_out], needs_dsh=False)
+    fused = make_fused_dtp_lin_kron(plan, tile=128, interpret=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    E = 128
+    x = jax.random.normal(ks[0], (E, irr.dim), jnp.float32)
+    sh = jax.random.normal(ks[1], (E, SH.dim), jnp.float32)
+    w = jax.random.normal(ks[2], (E, tp.weight_numel), jnp.float32)
+    hws = [_head_ws(lin_out, 7, tp=tp)]
+    out = plan.split_output(fused(x, sh, w, plan.pack_weights(hws)))[0]
+    z = tp.apply(x, sh, w, scale_weights=True)
+    ref = _ref_lin(z, lin_out, hws[0], tp=tp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
