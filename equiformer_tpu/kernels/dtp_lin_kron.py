@@ -22,11 +22,19 @@ folds the CG coefficient into the packed linear weight.  G is built OUTSIDE
 the kernel in plain XLA (differentiable: dW and — for shared weights — dw
 chain through the build), so the kernel sees only (x, sh, w, G).
 
+Everything runs in the *edge-major* layout of the raw operands — the flat
+x/w refs already hold each component's mul lanes contiguously, so the kron
+operand is assembled with unaligned lane-slice reads and lane-offset stores
+into one VMEM scratch, and dx/dw are written back by direct lane-offset
+stores.  (A first draft packed small muls like the FMA kernels and
+unstacked them with sublane ``jnp.concatenate`` — Mosaic rejects that
+concat on real TPU: "result/input offset mismatch on non-concat dim".)
+
 Gains over the FMA formulation (kernels/dtp_lin_pallas.py):
-  * forward VPU ~2.7x fewer elemwise ops (no z scratch writes, no slot
-    accumulation, no per-slot w multiply);
+  * forward VPU ~2.7x fewer elemwise ops (no z scratch accumulation, no
+    per-slot w multiply, no align-copy phase);
   * backward VPU ~3.3x fewer (the dz trilinear transposes collapse to one
-    cp*dKop accumulate per triple plus two ops per (x,w) pair);
+    cp*dkop accumulate per triple plus two ops per (x,w) pair);
   * NO saved-z residual at all — the backward rebuilds Kop from x (the
     save-z round trip was 6656 B/edge on the QM9 flagship, ~13.6ms/step of
     HBM);
@@ -47,7 +55,7 @@ in SeparableFCTP (/root/reference/nets/graph_attention_transformer.py:
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +65,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .dtp_lin_pallas import (
     LANE,
     DTPLinPlan,
-    _align_inputs,
     _n_scalar,
-    _packed_col,
     _shared_spec,
 )
 
@@ -73,8 +79,7 @@ class _QCol(NamedTuple):
     coeff: float    # CG coefficient (folded into G)
     fc: int         # fan row base in the group's packed W
     mul: int
-    p: int          # lane pack factor of the x/w slots
-    width: int      # K columns this triple occupies (>= mul, sublane-padded)
+    width: int      # K columns this triple occupies (mul, sublane-padded)
 
 
 class KronMeta:
@@ -82,7 +87,7 @@ class KronMeta:
 
     ``qcols[(gi, k)]`` lists the triples feeding output component k of group
     gi, in plan-term order; their K blocks are contiguous per (gi, k) so the
-    MXU dot reads one column slice of the kron operand and one row slice of
+    MXU dot reads one lane range of the kron scratch and one row slice of
     the per-group G.
     """
 
@@ -95,18 +100,16 @@ class KronMeta:
             key = (gi, k, t.a_off, t.col_off, t.b_off)
             assert key not in seen, "duplicate CG entry"
             seen.add(key)
-            _, mul, p = plan.x_slots[t.a_off]
-            if p == 1:
-                width = LANE  # the kron write covers the whole (zero-padded) slot
-            else:
-                width = ((mul + SUBL - 1) // SUBL) * SUBL
+            _, mul, _ = plan.x_slots[t.a_off]
+            width = ((mul + SUBL - 1) // SUBL) * SUBL
             qcols.setdefault((gi, k), []).append(
-                _QCol(t.a_off, t.col_off, t.b_off, t.coeff, fc, mul, p, width)
+                _QCol(t.a_off, t.col_off, t.b_off, t.coeff, fc, mul, width)
             )
         # per (gi, k): contiguous K/G row ranges, ordered (group, k)
         self.qcols = {}
         self.k_ranges = {}  # (gi, k) -> (row start in G_g, row end)
         self.g_rows: List[int] = [0] * len(plan.groups)
+        self.max_k = 0
         for gi, g in enumerate(plan.groups):
             acc = 0
             for k in range(g.ir.dim):
@@ -115,19 +118,19 @@ class KronMeta:
                 self.qcols[(gi, k)] = tuple(qs)
                 w = sum(q.width for q in qs)
                 self.k_ranges[(gi, k)] = (acc, acc + w)
+                self.max_k = max(self.max_k, w)
                 acc += w
             self.g_rows[gi] = acc
-        # x*w pair cache keys (collapse to the x slot when w is folded into G)
-        self.pairs = sorted(
-            {(q.a_off, None if plan.fold_shared else q.b_off)
-             for qs in self.qcols.values() for q in qs}
-        )
+        # kron scratch width: one lane range per (gi, k), 128-padded
+        self.kop_lanes = ((self.max_k + LANE - 1) // LANE) * LANE
 
     # ------------------------------------------------------------- G build
     def build_G(self, Ws: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         """Per-group G [K_g, cols]: for each (k, triple) row block, the
         coefficient-scaled fan rows of the packed W.  Plain XLA — dW (and,
-        via scale_shared_weights upstream, the shared dw) chain through."""
+        via scale_shared_weights upstream, the shared dw) chain through.
+        Pad rows are zero, so garbage in the kron scratch's pad lanes
+        contributes nothing to the dot."""
         out = []
         for gi, g in enumerate(self.plan.groups):
             blocks = []
@@ -146,44 +149,28 @@ class KronMeta:
 # ------------------------------------------------------------------ kernels
 
 
-def _xw_val(meta, x_al, w_al, cache, a_off, b_off, T):
-    """x*w product for one (x slot, w slot) pair, in the slot's packed
-    layout ([T, LANE] or [T//p, p*mul]); w_al None -> x alone."""
-    plan = meta.plan
-    key = (a_off, b_off)
+def _pair_val(plan, x_ref, w_ref, cache, q):
+    """x*w product for one (x slot, w slot) pair, edge-major [T, mul];
+    w folded into G -> x alone."""
+    key = (q.a_off, None if plan.fold_shared else q.b_off)
     if key not in cache:
-        xs, mul, p = plan.x_slots[a_off]
-        lanes = LANE if p == 1 else p * mul
-        r = T // p
-        v = x_al[:r, xs : xs + lanes]
-        if w_al is not None:
-            ws, _, _ = plan.w_slots[b_off]
-            v = v * w_al[:r, ws : ws + lanes]
+        v = x_ref[:, q.a_off : q.a_off + q.mul]
+        if w_ref is not None:
+            v = v * w_ref[:, q.b_off : q.b_off + q.mul]
         cache[key] = v
     return cache[key]
 
 
-def _kron_block(meta, cols, x_al, w_al, xwcache, colcache, gi, k, T):
-    """The [T, K_k] kron operand for output component (gi, k): one
-    broadcast-multiply per triple, packed row-groups unstacked to edge-major
-    rows, width-padded with zeros to the sublane quantum."""
-    plan = meta.plan
-    ops = []
+def _fill_kop(meta, kop_ref, cols, x_ref, w_ref, cache, gi, k):
+    """Assemble the [T, K_k] kron operand for output component (gi, k) in
+    the scratch: one broadcast-multiply + lane-offset store per triple.
+    Pad lanes keep whatever was there — G's pad rows are zero."""
+    off = 0
     for q in meta.qcols[(gi, k)]:
-        b = None if plan.fold_shared else q.b_off
-        src = _xw_val(meta, x_al, w_al, xwcache, q.a_off, b, T)
-        cp = _packed_col(plan, cols, colcache, q.col_off, q.p, q.mul, T)
-        val = cp * src
-        if q.p > 1:
-            r = T // q.p
-            val = jnp.concatenate(
-                [val[:, g * q.mul : (g + 1) * q.mul] for g in range(q.p)],
-                axis=0,
-            )  # [T, mul]
-            if q.width > q.mul:
-                val = jnp.pad(val, ((0, 0), (0, q.width - q.mul)))
-        ops.append(val)
-    return jnp.concatenate(ops, axis=1) if len(ops) > 1 else ops[0]
+        src = _pair_val(meta.plan, x_ref, w_ref, cache, q)
+        val = cols[:, q.col_off : q.col_off + 1] * src
+        kop_ref[:, off : off + q.mul] = val
+        off += q.width
 
 
 def _fwd_kernel(meta: KronMeta, T: int, n_ref, *refs):
@@ -197,23 +184,23 @@ def _fwd_kernel(meta: KronMeta, T: int, n_ref, *refs):
         rest = refs[3:]
     G_refs = rest[:nG]
     out_ref = rest[nG]
-    x_al = rest[nG + 1]
-    w_al = rest[nG + 2] if not plan.fold_shared else None
+    kop_ref = rest[nG + 1]
 
     active = pl.program_id(0) * T < n_ref[0]
 
     @pl.when(active)
     def _():
-        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        # pad lanes between triples must be finite: G's pad rows are zero,
+        # but uninitialized VMEM could hold NaN patterns and NaN*0 = NaN
+        kop_ref[:] = jnp.zeros_like(kop_ref)
         cols = sh_ref[:]
-        xwcache, colcache = {}, {}
+        cache = {}
         for gi, g in enumerate(plan.groups):
             for k in range(g.ir.dim):
-                Kk = _kron_block(meta, cols, x_al, w_al, xwcache, colcache,
-                                 gi, k, T)
+                _fill_kop(meta, kop_ref, cols, x_ref, w_ref, cache, gi, k)
                 rs, re = meta.k_ranges[(gi, k)]
                 res = jax.lax.dot_general(
-                    Kk,
+                    kop_ref[:, : re - rs],
                     G_refs[gi][rs:re, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -239,8 +226,7 @@ def _bwd_kernel(meta: KronMeta, T: int, n_ref, *refs):
     dsh_ref = next(it)
     dw_ref = None if plan.fold_shared else next(it)
     dG_refs = [next(it) for _ in range(nG)]
-    x_al = next(it)
-    w_al = None if plan.fold_shared else next(it)
+    kop_ref = next(it)
     assert next(it, None) is None
 
     i = pl.program_id(0)
@@ -260,20 +246,19 @@ def _bwd_kernel(meta: KronMeta, T: int, n_ref, *refs):
 
     @pl.when(active)
     def _():
-        _align_inputs(plan, x_ref, w_ref, x_al, w_al, T)
+        kop_ref[:] = jnp.zeros_like(kop_ref)  # see _fwd_kernel
         cols = sh_ref[:]
-        xwcache, colcache = {}, {}
-        dxw_acc = {}
+        cache = {}
+        dxw_acc = {}  # (a_off, b_off) -> edge-major [T, mul] cotangent
         for gi, g in enumerate(plan.groups):
             for k in range(g.ir.dim):
-                Kk = _kron_block(meta, cols, x_al, w_al, xwcache, colcache,
-                                 gi, k, T)
+                _fill_kop(meta, kop_ref, cols, x_ref, w_ref, cache, gi, k)
                 rs, re = meta.k_ranges[(gi, k)]
                 o0 = g.out_off + k * g.cols
                 gblk = g_ref[:, o0 : o0 + g.cols]
-                # dG += Kk^T gblk ; dKop = gblk G^T (both carry coeff & W)
+                # dG += Kop^T gblk ; dkop = gblk G^T (both carry coeff & W)
                 dG_c = jax.lax.dot_general(
-                    Kk,
+                    kop_ref[:, : re - rs],
                     gblk,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -292,65 +277,38 @@ def _bwd_kernel(meta: KronMeta, T: int, n_ref, *refs):
                     G_refs[gi][rs:re, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(x_al.dtype)  # [T, K_k]
+                ).astype(cols.dtype)  # [T, K_k]
                 off = 0
                 for q in meta.qcols[(gi, k)]:
-                    dval = dkop[:, off : off + q.width]
+                    dval = dkop[:, off : off + q.mul]
                     off += q.width
-                    if q.p > 1:
-                        r = T // q.p
-                        dval = jnp.concatenate(
-                            [dval[g * r : (g + 1) * r, : q.mul]
-                             for g in range(q.p)],
-                            axis=1,
-                        )  # [r, p*mul]
-                    cp = _packed_col(plan, cols, colcache, q.col_off, q.p,
-                                     q.mul, T)
-                    key = (q.a_off,
-                           None if plan.fold_shared else q.b_off)
+                    cp = cols[:, q.col_off : q.col_off + 1]
+                    key = (q.a_off, None if plan.fold_shared else q.b_off)
                     dxw_acc[key] = dxw_acc.get(key, 0.0) + cp * dval
         # pair transposes: dx = dxw*w, dw = dxw*x (w folded: dx = dxw)
         dx_acc, dw_acc = {}, {}
         for (a_off, b_off), dxw in dxw_acc.items():
-            xs, mul, p = plan.x_slots[a_off]
+            _, mul, _ = plan.x_slots[a_off]
             if plan.fold_shared:
-                dx_acc[xs] = dx_acc.get(xs, 0.0) + dxw
+                dx_acc[a_off] = dx_acc.get(a_off, 0.0) + dxw
                 continue
-            ws, _, _ = plan.w_slots[b_off]
-            r = T // p
-            lanes = LANE if p == 1 else p * mul
-            dx_acc[xs] = dx_acc.get(xs, 0.0) + dxw * w_al[:r, ws : ws + lanes]
-            dw_acc[ws] = dw_acc.get(ws, 0.0) + dxw * x_al[:r, xs : xs + lanes]
+            dx_acc[a_off] = dx_acc.get(a_off, 0.0) + dxw * w_ref[
+                :, b_off : b_off + mul
+            ]
+            dw_acc[b_off] = dw_acc.get(b_off, 0.0) + dxw * x_ref[
+                :, a_off : a_off + mul
+            ]
         dx_ref[:] = jnp.zeros_like(dx_ref)
-        for off, (slot, mul, p) in plan.x_slots.items():
-            if slot not in dx_acc:
-                continue
-            acc = dx_acc[slot]
-            if p == 1:
-                dx_ref[:, off : off + mul] = acc[:, :mul].astype(dx_ref.dtype)
-            else:
-                r = T // p
-                for g in range(p):
-                    dx_ref[g * r : (g + 1) * r, off : off + mul] = acc[
-                        :, g * mul : (g + 1) * mul
-                    ].astype(dx_ref.dtype)
+        for a_off, acc in dx_acc.items():
+            _, mul, _ = plan.x_slots[a_off]
+            dx_ref[:, a_off : a_off + mul] = acc.astype(dx_ref.dtype)
         dsh_ref[:] = jnp.zeros_like(dsh_ref)  # needs_dsh=False path only
         if dw_ref is not None:
             dw_ref[:] = jnp.zeros_like(dw_ref)
-            for off, (slot, mul, p) in plan.w_slots.items():
-                if slot not in dw_acc:
-                    continue
-                acc = dw_acc[slot]
-                if p == 1:
-                    dw_ref[:, off : off + mul] = acc[:, :mul].astype(
-                        dw_ref.dtype
-                    )
-                else:
-                    r = T // p
-                    for g in range(p):
-                        dw_ref[g * r : (g + 1) * r, off : off + mul] = acc[
-                            :, g * mul : (g + 1) * mul
-                        ].astype(dw_ref.dtype)
+            for b_off, acc in dw_acc.items():
+                dw_ref[:, b_off : b_off + acc.shape[1]] = acc.astype(
+                    dw_ref.dtype
+                )
 
 
 # ------------------------------------------------------------ callable op
@@ -362,13 +320,11 @@ def kron_auto_tile(meta: KronMeta, start: int = 128,
     per-tile operand/scratch width plus the tile-independent G (operand) and
     dG (fp32 output block) residents."""
     plan = meta.plan
-    K_tot = sum(meta.g_rows)
     d_w = 0 if plan.fold_shared else plan.d_w
-    d_w_al = 0 if plan.fold_shared else plan.d_w_al
-    # per-tile: in/out blocks + aligned scratches + the transient kron/dkop
-    # values the compiler keeps live (~2x K_tot worst case in the backward)
-    width = (2 * plan.d_x + plan.d_sh + 2 * d_w + plan.d_x_al + d_w_al
-             + 2 * plan.d_out + 2 * K_tot)
+    # per-tile: in/out blocks + the kron scratch + the transient dkop/dxw
+    # values the compiler keeps live (~2x max_k worst case in the backward)
+    width = (2 * plan.d_x + plan.d_sh + 2 * d_w + 2 * plan.d_out
+             + 3 * meta.kop_lanes)
     fixed = 2 * sum(
         meta.g_rows[gi] * g.cols for gi, g in enumerate(plan.groups)
     )
@@ -406,11 +362,9 @@ def make_fused_dtp_lin_kron(plan: DTPLinPlan, tile: Optional[int] = None,
             pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
         ]
         operands = [x, sh]
-        scratch = [pltpu.VMEM((T, plan.d_x_al), x.dtype)]
         if not plan.fold_shared:
             in_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
             operands.append(w)
-            scratch.append(pltpu.VMEM((T, plan.d_w_al), x.dtype))
         in_specs += [_shared_spec(G.shape) for G in Gs]
         operands += list(Gs)
         return pl.pallas_call(
@@ -421,7 +375,7 @@ def make_fused_dtp_lin_kron(plan: DTPLinPlan, tile: Optional[int] = None,
                 grid=(E // T,),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)),
-                scratch_shapes=scratch,
+                scratch_shapes=[pltpu.VMEM((T, meta.kop_lanes), x.dtype)],
             ),
             interpret=interpret,
         )(n, *operands)
@@ -435,11 +389,9 @@ def make_fused_dtp_lin_kron(plan: DTPLinPlan, tile: Optional[int] = None,
             pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
         ]
         operands = [x, sh]
-        scratch = [pltpu.VMEM((T, plan.d_x_al), dtype)]
         if not plan.fold_shared:
             in_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
             operands.append(w)
-            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
         in_specs += [_shared_spec(G.shape) for G in Gs]
         operands += list(Gs)
         in_specs.append(pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)))
@@ -469,7 +421,7 @@ def make_fused_dtp_lin_kron(plan: DTPLinPlan, tile: Optional[int] = None,
                 grid=(E // T,),
                 in_specs=in_specs,
                 out_specs=tuple(out_specs),
-                scratch_shapes=scratch,
+                scratch_shapes=[pltpu.VMEM((T, meta.kop_lanes), dtype)],
             ),
             interpret=interpret,
         )(n, *operands)

@@ -147,11 +147,51 @@ def main():
             tot = report(counter, plans, label)
         bs_label, step_tot = bs, tot
     else:
-        # QM9 path is first-order custom_vjp (not leg primitives): count its
-        # pallas kernels from the module-level call structure instead
-        print("qm9: use the fused-kernel micro numbers in CLAUDE.md; the "
-              "custom-vjp binds don't carry plan_id params to census")
-        return
+        # QM9 rides the first-order custom_vjp kernels (no leg primitives in
+        # the jaxpr): capture the DTPLinPlan instances built at model init
+        # and cost the known per-step structure — every fused op runs ONE
+        # fwd (save_z) + ONE fused backward kernel per train step.
+        bs = args.batch or 128
+        import argparse as _ap
+
+        import equiformer_tpu.kernels.dtp_lin_pallas as fo
+        from bench import build_qm9
+
+        plans = []
+        orig = fo.DTPLinPlan.__init__
+
+        def patched(self, *a, **k):
+            orig(self, *a, **k)
+            plans.append(self)
+
+        fo.DTPLinPlan.__init__ = patched
+        try:
+            # plans are batch-independent: init at batch 8 (fast on 1 CPU
+            # core), cost at the requested batch's tight edge capacity
+            ns = _ap.Namespace(loose_edges=0, smoke=False, fp32=False, remat=False)
+            train_step, state, batches = build_qm9(ns, 8)
+        finally:
+            fo.DTPLinPlan.__init__ = orig
+        # edges are built inside the model at the tight per-batch capacity
+        from bench import tight_edge_cap
+        from equiformer_tpu.data import qm9_like_dataset
+
+        E = tight_edge_cap(qm9_like_dataset(bs * 4, seed=0), bs, 5.0)
+        tot = collections.Counter()
+        for p in plans:
+            c = plan_costs(p)
+            fma = E * c["fma_elems"] * (BIND_FMA_OPS["fwd"] + BIND_FMA_OPS["bwd_fused"])
+            mxu = E * c["mxu_flops"] * (BIND_MXU["fwd"] + BIND_MXU["bwd_fused"])
+            byt = E * (2 * c["bytes_ops"] + 2 * 2 * c["z_width"])  # +save-z rt
+            tot["vpu_flops"] += fma
+            tot["mxu_flops"] += mxu
+            tot["hbm_bytes"] += byt
+        print(f"== qm9 train step ({len(plans)} fused plans, E={E}, "
+              f"1 fwd + 1 fused bwd each)")
+        print(f"  VPU elemwise flops : {tot['vpu_flops']/1e9:8.2f} G")
+        print(f"  MXU flops          : {tot['mxu_flops']/1e9:8.2f} G")
+        print(f"  HBM operand bytes  : {tot['hbm_bytes']/1e9:8.3f} GB")
+        bs_label, step_tot = bs, tot
 
     print(f"\nper-graph (batch {bs_label}): "
           f"VPU {step_tot['vpu_flops']/1e9/bs_label:.2f} G, "
