@@ -1,5 +1,14 @@
 """Kron-basis MXU cast of the fused DTP+linear (first-order path).
 
+MEASURED NEGATIVE (round 4) — kept as a default-OFF A/B record.  On chip
+this path runs QM9 at 1438.9 g/s vs 2327.8 for the FMA kernels; per-call
+micro-attribution and the aligned/128-padded variant that measured even
+worse are in PERF_ANALYSIS.md ("the kron-basis MXU cast, measured") and
+scripts/kron_micro.py.  Root cause: the kron operand must be lane-aligned
+(per-triple stores at unaligned offsets lower to Mosaic shift/mask
+sequences) and compact (G + fp32 dG are tile-independent VMEM residents)
+at the same time, and at mul<128 those are mutually exclusive.
+
 The round-3 roofline (PERF_ANALYSIS.md) showed both flagship steps are
 VPU-bound: the CG contraction in dtp_lin_pallas.py runs ~3 VPU ops per
 term element forward and ~8 backward, while the MXU sits <4ms/step.  This
