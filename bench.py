@@ -12,6 +12,11 @@ default (the analog of the reference's AMP training, engine.py:58-81); pass
 oc20/configs/is2re/all/graph_attention_transformer/l1_256_nonlinear_g@2_local.yml:
 256x0e+128x1e, 6 blocks, nonlinear messages, r=5.0 PBC graphs), batch 32.
 
+--task oc20_18b: the reference's best published IS2RE config (README.md:128 —
+18 blocks + IS2RS auxiliary head + Noisy Nodes + grad accumulation x2,
+l1_256_blocks@18_nonlinear_aux_g@4_local.yml), batch 32, remat (activations
+exceed v5e HBM without it).
+
 --task md17: the MD17 energy+force step (nonlinear_exp_l3, the paper's
 headline aspirin config) with forces = -dE/dpos inside the loss, i.e. double
 backward through the network (graph_attention_transformer_md17.py:318-325),
@@ -65,7 +70,7 @@ A100_BASELINE_GRAPHS_PER_SEC = 400.0  # QM9 nonlinear_l2, batch 128, AMP
 QM9_FLOPS_PER_STEP_B128_TIGHT = 759580852224.0
 TPU_V5E_PEAK_BF16_FLOPS = 197e12  # per chip (Google's published v5e spec)
 
-DEFAULT_BATCH = {"qm9": 128, "oc20": 32, "md17": 8, "dens": 8}
+DEFAULT_BATCH = {"qm9": 128, "oc20": 32, "oc20_18b": 32, "md17": 8, "dens": 8}
 
 
 def tight_edge_cap(data, batch_size, r, slack: int = 128) -> int:
@@ -189,7 +194,7 @@ def build_qm9(args, batch_size):
     return train_step, state, batches
 
 
-def build_oc20(args, batch_size):
+def build_oc20(args, batch_size, blocks18=False):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -213,6 +218,11 @@ def build_oc20(args, batch_size):
         nonlinear_message=True,
         compute_dtype=None if args.fp32 else "bfloat16",
     )
+    if blocks18:
+        # 18-block aux config (l1_256_blocks@18_nonlinear_aux_g@4_local.yml):
+        # IS2RS auxiliary head; remat like the soak (18 blocks measured 34.5G
+        # activation HBM vs the v5e's 15.75G)
+        cfg.update(num_layers=18, use_auxiliary_task=True, remat=True)
     if args.smoke:
         cfg.update(
             num_layers=2, max_neighbors=12,
@@ -239,12 +249,26 @@ def build_oc20(args, batch_size):
     opt = create_optimizer(
         cosine_warmup_schedule(2e-4, 100, 100000), weight_decay=1e-3
     )
-    # IS2RE all-split normalizers (oc20/configs/is2re/all/base.yml:6-7)
+    if blocks18:
+        from equiformer_tpu.train.oc20_engine import with_grad_accumulation
+
+        opt = with_grad_accumulation(opt, 2)
+    # IS2RE all-split normalizers (oc20/configs/is2re/all/base.yml:6-7);
+    # 18b adds the aux loss (weight 15, linearly decayed) + Noisy Nodes like
+    # the reference config
     train_step, _ = make_oc20_steps(
         model, opt, target_mean=-1.525913, target_std=2.279365,
+        use_auxiliary_task=blocks18,
+        auxiliary_task_weight=15.0,
+        total_steps=100000,
+        use_noisy_nodes=blocks18,
     )
     state = TrainState.create(params, opt)
     return train_step, state, batches
+
+
+def build_oc20_18b(args, batch_size):
+    return build_oc20(args, batch_size, blocks18=True)
 
 
 def build_md17(args, batch_size):
@@ -387,13 +411,13 @@ def build_dens(args, batch_size):
     return bound_step, state, batches
 
 
-BUILDERS = {"qm9": build_qm9, "oc20": build_oc20, "md17": build_md17,
-            "dens": build_dens}
+BUILDERS = {"qm9": build_qm9, "oc20": build_oc20, "oc20_18b": build_oc20_18b,
+            "md17": build_md17, "dens": build_dens}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=("qm9", "oc20", "md17", "dens"), default="qm9")
+    ap.add_argument("--task", choices=("qm9", "oc20", "oc20_18b", "md17", "dens"), default="qm9")
     ap.add_argument("--smoke", action="store_true", help="tiny model on CPU")
     ap.add_argument("--batch", type=int, default=0, help="0 = per-task default")
     ap.add_argument("--steps", type=int, default=100)

@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -134,8 +135,6 @@ def _radial_fold_enabled() -> bool:
     A/Bs: QM9 2065.8 folded vs 2329.5 unfolded (-11%); MD17 99.2 vs 162.4
     (-39%, the fold's Wr VMEM also forces tile 64 on L3 plans).
     EQUIFORMER_TPU_FOLD_RADIAL=1 re-enables for A/Bs."""
-    import os
-
     return os.environ.get("EQUIFORMER_TPU_FOLD_RADIAL", "0") not in ("0", "false")
 
 
@@ -158,8 +157,6 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
                           and _radial_fold_enabled()) else None
         )
         if higher_order_grads:
-            import os
-
             # separate opt-out for A/B benchmarking the force path
             if os.environ.get("EQUIFORMER_TPU_FUSED_HO", "1") in ("0", "false"):
                 return None, None
@@ -200,29 +197,23 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
         # L3 external plan at tile 128 measured a 16.43M scoped-vmem OOM.
         # EQUIFORMER_TPU_FO_TILE overrides the external-weight tile for A/Bs
         # (the compact fan layout + save-z halved the calibration-era VMEM).
-        import os
-
         fo_tile = int(os.environ.get("EQUIFORMER_TPU_FO_TILE", "0"))
         tile = 256 if internal_weights else (fo_tile or 128)
-        fplan = DTPLinPlan(
-            plan,
-            head_irreps,
-            fold_rescale=not internal_weights,
-            shared_weights=internal_weights,
-            # first-order models never differentiate wrt positions: skip the
-            # dsh transpose
-            needs_dsh=False,
-            tile=tile,
-            # external-weight (radial-profile) call sites fold the radial
-            # MLP's final linear into the kernel: the [E, weight_numel]
-            # operand shrinks to the hidden width in fwd AND bwd
-            radial_fold=rad_fold,
-        )
         # kron-basis MXU cast (A/B): the CG contraction rides the MXU as
         # per-(group, k) dots against a coefficient-folded G built from the
         # packed W in XLA — no z scratch, no save-z residual.  Incompatible
-        # with radial folding (G replaces the packed W entirely).
+        # with radial folding (G replaces the packed W entirely), so KRON_G
+        # overrides FOLD_RADIAL; checked before any plan is built.
         if os.environ.get("EQUIFORMER_TPU_KRON_G", "0") not in ("0", "false"):
+            if rad_fold is not None:
+                import warnings
+
+                warnings.warn(
+                    "EQUIFORMER_TPU_KRON_G overrides EQUIFORMER_TPU_FOLD_RADIAL:"
+                    " the kron path folds the packed W into G and cannot also"
+                    " fold the radial linear; radial folding is disabled.",
+                    stacklevel=2,
+                )
             from ..kernels.dtp_lin_kron import (
                 make_fused_dtp_lin_kron,
                 kron_auto_tile,
@@ -239,13 +230,38 @@ def _make_fused_plan(plan, head_irreps, internal_weights, higher_order_grads,
             )
             ktile = kron_auto_tile(KronMeta(kplan), fo_tile or tile)
             return kplan, make_fused_dtp_lin_kron(kplan, tile=ktile)
+        fplan = DTPLinPlan(
+            plan,
+            head_irreps,
+            fold_rescale=not internal_weights,
+            shared_weights=internal_weights,
+            # first-order models never differentiate wrt positions: skip the
+            # dsh transpose
+            needs_dsh=False,
+            tile=tile,
+            # external-weight (radial-profile) call sites fold the radial
+            # MLP's final linear into the kernel: the [E, weight_numel]
+            # operand shrinks to the hidden width in fwd AND bwd
+            radial_fold=rad_fold,
+        )
         from ..kernels.dtp_lin_ho import auto_tile
 
         # an explicit FO_TILE bypasses the budget heuristic (A/B runs)
         if not (fo_tile and not internal_weights):
             tile = auto_tile(fplan, tile, budget=9 * 2**20)
         return fplan, make_fused_dtp_lin(fplan, tile=tile)
-    except (ValueError, AssertionError):
+    except (ValueError, AssertionError) as exc:
+        # unsupported plan shapes fall back to the einsum path; when an A/B
+        # path was explicitly requested via env, say so instead of silently
+        # benchmarking the fallback
+        if os.environ.get("EQUIFORMER_TPU_KRON_G", "0") not in ("0", "false"):
+            import warnings
+
+            warnings.warn(
+                f"EQUIFORMER_TPU_KRON_G requested but the kron plan failed"
+                f" ({exc!r}); falling back to the einsum path.",
+                stacklevel=2,
+            )
         return None, None
 
 

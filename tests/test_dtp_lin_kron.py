@@ -15,7 +15,7 @@ from equiformer_tpu.core import Irreps, depthwise_tp
 from equiformer_tpu.kernels.dtp_lin_kron import make_fused_dtp_lin_kron
 from equiformer_tpu.kernels.dtp_lin_pallas import DTPLinPlan
 
-from test_dtp_lin import IRR, LIN_OUT, SH, TP, _data, _head_ws, _ref_lin
+from tests.test_dtp_lin import IRR, LIN_OUT, SH, TP, _data, _head_ws, _ref_lin
 
 ALPHA_OUT = Irreps("6x0e")
 
@@ -43,6 +43,28 @@ def test_kron_meta_layout():
     Gs = meta.build_G(plan.pack_weights([_head_ws(LIN_OUT, 0), _head_ws(ALPHA_OUT, 1)]))
     for gi, g in enumerate(plan.groups):
         assert Gs[gi].shape == (meta.g_rows[gi], g.cols)
+
+
+def test_kron_small_plan_parity_fast():
+    """Fast-tier value parity on a reduced plan (single head, small E) so a
+    regression in dtp_lin_kron.py is caught by ``pytest -m "not slow"``; the
+    full grads/padding/multi-slot matrix stays in the slow tier."""
+    irr = Irreps("4x0e+2x1e")
+    sh_irr = Irreps("1x0e+1x1e")
+    tp = depthwise_tp(irr, sh_irr, irr)
+    head = Irreps("4x0e+2x1e")
+    e = 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (e, irr.dim), jnp.float32)
+    sh = jax.random.normal(ks[1], (e, sh_irr.dim), jnp.float32)
+    w = jax.random.normal(ks[2], (e, tp.weight_numel), jnp.float32)
+    plan = DTPLinPlan(tp, [head], fold_rescale=True, needs_dsh=False)
+    fused = make_fused_dtp_lin_kron(plan, tile=64, interpret=True)
+    hws = [_head_ws(head, 7, tp=tp)]
+    got = plan.split_output(fused(x, sh, w, plan.pack_weights(hws)))[0]
+    z = tp.apply(x, sh, w, scale_weights=True)
+    want = _ref_lin(z, head, hws[0], tp=tp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 @pytest.mark.slow  # ~60s/case interpret mode on one core

@@ -1,11 +1,12 @@
 """Convert a reference PyTorch Equiformer checkpoint to equiformer_tpu npz.
 
 Reads a torch ``.pt``/``.pth`` file (as linked from the reference README's
-pretrained-model table, /root/reference/README.md:84-130), maps the
-state_dict onto this framework's parameter tree via
-``equiformer_tpu.utils.convert`` (CG signs / layouts / rescales handled —
-see core/e3nn_compat.py), and writes a weights-only ``.npz`` loadable with
-``train.checkpoint.load_params``.
+pretrained-model table, /root/reference/README.md:84-130) with the built-in
+torch-free zip+pickle reader (utils/pt_reader.py — no torch install needed;
+``--use-torch`` opts back into torch.load), maps the state_dict onto this
+framework's parameter tree via ``equiformer_tpu.utils.convert`` (CG signs /
+layouts / rescales handled — see core/e3nn_compat.py), and writes a
+weights-only ``.npz`` loadable with ``train.checkpoint.load_params``.
 
 Usage:
   python tools/convert_checkpoint.py ref.pth out.npz \
@@ -58,31 +59,41 @@ def main():
     ap.add_argument("--state-dict-key", default=None,
                     help="key inside the checkpoint dict holding the state_dict "
                          "(auto-detects 'state_dict' / 'model' / raw)")
+    ap.add_argument("--use-torch", action="store_true",
+                    help="read the checkpoint with torch.load instead of the "
+                         "built-in torch-free zip+pickle reader")
     args = ap.parse_args()
 
     if args.e3nn_constants:
         check_constants(args.e3nn_constants)
 
-    import torch
-
     from equiformer_tpu.models import model_entrypoint
     from equiformer_tpu.train.checkpoint import save_params
     from equiformer_tpu.utils.convert import convert_qm9_state_dict
 
-    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
-    sd = ckpt
-    if isinstance(ckpt, dict) and not any(
-        hasattr(v, "shape") for v in list(ckpt.values())[:4]
-    ):
-        for key in ([args.state_dict_key] if args.state_dict_key else
-                    ["state_dict", "model", "model_ema"]):
-            if key and key in ckpt:
-                sd = ckpt[key]
-                break
-    sd = {k: v for k, v in sd.items()}
-    # strip DDP 'module.' prefixes
-    if all(k.startswith("module.") for k in sd):
-        sd = {k[len("module."):]: v for k, v in sd.items()}
+    if args.use_torch:
+        # explicit escape hatch (e.g. a legacy pre-1.6 checkpoint)
+        import torch
+
+        ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+        sd = ckpt
+        if isinstance(ckpt, dict) and not any(
+            hasattr(v, "shape") for v in list(ckpt.values())[:4]
+        ):
+            for key in ([args.state_dict_key] if args.state_dict_key else
+                        ["state_dict", "model", "model_ema"]):
+                if key and key in ckpt:
+                    sd = ckpt[key]
+                    break
+        sd = {k: v for k, v in sd.items()}
+        if all(k.startswith("module.") for k in sd):
+            sd = {k[len("module."):]: v for k, v in sd.items()}
+    else:
+        # default: the from-spec torch-free zip+pickle reader — no torch
+        # needed to ingest a reference checkpoint (utils/pt_reader.py)
+        from equiformer_tpu.utils.pt_reader import load_state_dict
+
+        sd = load_state_dict(args.src, args.state_dict_key)
 
     kwargs = {}
     for kv in args.model_kwargs:
