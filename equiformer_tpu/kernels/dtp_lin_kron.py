@@ -53,6 +53,12 @@ Cost: the MXU dots contract K = sum of triple widths instead of the fan
 (~3-6x more MXU flops — noise at the 1:100 VPU:MXU rate ratio) and G/dG
 are tile-independent VMEM residents (~3x the packed W).
 
+Precision caveat: the backward casts its fp32 in-kernel dG accumulator to
+G.dtype (bf16 on chip) before chaining to dW through build_G's transpose,
+so the final weight gradient is rounded to bf16 — slightly lower precision
+than the FMA path, whose kernel emits fp32 dW directly.  Acceptable for a
+default-OFF A/B path; revisit before ever training through this path.
+
 Semantics == make_fused_dtp_lin(plan)(x, sh, w, Ws) for needs_dsh=False
 plans (QM9/OC20 never differentiate wrt the SH of edge vectors; the force
 path keeps the leg-primitive family in dtp_lin_ho.py).  Select with
