@@ -35,6 +35,18 @@ def main():
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--out", type=str, default="SOAK_r04_dens.md")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument(
+        "--recoverable", action="store_true",
+        help="make the denoising target LEARNABLE: shrink the frames' thermal "
+        "jitter around the fixed template to 0.005 (vs the DeNS noise std "
+        "0.05), noise every batch (prob=1), and hold the dp weight constant. "
+        "In the r4 recipe soak the jitter EQUALS the noise std, so thermal "
+        "displacement and injected noise are statistically indistinguishable "
+        "— the Bayes-optimal predictor recovers only sigma_n^2/(sigma_n^2+"
+        "sigma_t^2) = half the noise, leaving an analytic L2MAE floor of "
+        "sqrt(1/2)*1.596 = 1.13 vs 1.60 untrained; the observed ~1.4-2.3 "
+        "hover is that floor plus batch-8 sampling noise.  At jitter 0.005 "
+        "the floor drops to 0.159, so learning must show as decay.")
     args = ap.parse_args()
 
     from bench import tight_edge_cap
@@ -53,6 +65,17 @@ def main():
     slots = 21  # aspirin
     k_spring = 0.5
     data = md17_like_dataset(bs * 32, num_atoms=slots, seed=0)
+    if args.recoverable:
+        # re-jitter every frame around a common template at sigma_t = 0.005
+        # << the DeNS noise std 0.05 (md17_like_dataset bakes sigma_t = 0.05,
+        # which equals the noise std and makes the noise unrecoverable)
+        rng_np = np.random.default_rng(1)
+        template = data[0]["pos"].copy()
+        for g in data:
+            g["pos"] = (
+                template
+                + rng_np.normal(scale=0.005, size=template.shape)
+            ).astype(np.float32)
     for g in data:
         pos = g["pos"]
         c = pos.mean(axis=0, keepdims=True)
@@ -86,7 +109,9 @@ def main():
     )
     train_step, _ = make_dens_steps(
         model, opt, mean, std, energy_weight=1.0, force_weight=80.0,
-        denoising_pos_std=0.05, denoising_pos_prob=0.25, corrupt_ratio=0.25,
+        denoising_pos_std=0.05,
+        denoising_pos_prob=1.0 if args.recoverable else 0.25,
+        corrupt_ratio=0.25,
     )
     state = TrainState.create(params, opt)
     step = jax.jit(train_step, donate_argnums=(0,))
@@ -100,8 +125,14 @@ def main():
         for i in range(chunk_start, min(chunk_start + args.chunk, args.steps)):
             rng, sub = jax.random.split(rng)
             # reference linear dp-weight decay over the run (main_md17_dens.py
-            # epoch-fraction schedule, exercised per step here)
-            dp_w = jnp.asarray(dp_w0 * (1.0 - i / args.steps), jnp.float32)
+            # epoch-fraction schedule, exercised per step here); the
+            # recoverable-noise demonstration holds it constant so any decay
+            # in loss_dp is attributable to learning, not the schedule
+            dp_w = jnp.asarray(
+                dp_w0 if args.recoverable
+                else dp_w0 * (1.0 - i / args.steps),
+                jnp.float32,
+            )
             state, metrics = step(state, batches[i % len(batches)], sub, dp_w)
         loss_f = float(metrics["loss_f"])  # host materialization = true sync
         loss_e = float(metrics["loss_e"])
@@ -121,15 +152,30 @@ def main():
     rates = [s["graphs_per_sec"] for s in samples[1:]]
     flosses = [s["loss_f"] for s in samples]
     with open(args.out, "w") as fh:
-        fh.write("# DeNS training soak report\n\n")
+        fh.write("# DeNS training soak report")
+        fh.write(" (recoverable-noise variant)\n\n" if args.recoverable
+                 else "\n\n")
         fh.write(
             f"- config: equiformer_dens_l3 (aspirin DeNS recipe), batch {bs}, "
-            f"{'fp32' if args.fp32 else 'bf16'}, e:f:dp = 1:80:5.0 with "
-            f"linear dp decay, noise std 0.05 / prob 0.25 / corrupt 0.25, "
-            f"{args.steps} steps, {total_s/60:.1f} min wall; double backward "
+            f"{'fp32' if args.fp32 else 'bf16'}, e:f:dp = 1:80:5.0 "
+            + ("with CONSTANT dp weight, noise std 0.05 / prob 1.0 / "
+               "corrupt 0.25, thermal jitter 0.005, "
+               if args.recoverable else
+               "with linear dp decay, noise std 0.05 / prob 0.25 / "
+               "corrupt 0.25, ")
+            + f"{args.steps} steps, {total_s/60:.1f} min wall; double backward "
             f"through the energy branch on the arbitrary-order fused "
             f"DTP+linear leg kernels\n"
         )
+        if args.recoverable:
+            dps = [s["loss_dp"] for s in samples if s["loss_dp"] > 0]
+            fh.write(
+                f"- denoising loss: start {dps[0]} -> final {dps[-1]} "
+                f"(min {min(dps)}); analytic L2MAE bounds: 1.596 untrained "
+                f"(predicting zero), 0.159 Bayes floor at jitter/noise = "
+                f"0.005/0.05 (= sqrt(sigma_t^2/(sigma_t^2+sigma_n^2)) x "
+                f"1.596)\n"
+            )
         fh.write(
             f"- force loss (norm. units): start {flosses[0]} -> final "
             f"{flosses[-1]} (min {min(flosses)}); all 3 loss terms finite at "
@@ -153,6 +199,21 @@ def main():
             "container): decay shape, NaN-freeness and step-time flatness "
             "are the validated properties.\n"
         )
+        if args.recoverable:
+            fh.write(
+                "\nWhy the r4 recipe soak's denoising column was flat: the "
+                "synthetic frames' thermal jitter around the template (0.05) "
+                "EQUALS the DeNS noise std (0.05), so thermal displacement "
+                "and injected noise are statistically indistinguishable; the "
+                "Bayes-optimal predictor recovers only half the noise, "
+                "leaving an L2MAE floor of sqrt(1/2) x 1.596 = 1.13 vs 1.60 "
+                "for predicting zero — the observed 1.37-2.30 hover is that "
+                "floor plus batch-8 prob-0.25 sampling noise.  This variant "
+                "shrinks the jitter to 0.005 (like real MD17 aspirin, whose "
+                "bonded geometry constrains atoms far more tightly than the "
+                "0.05 noise), making the noise recoverable: the floor drops "
+                "to 0.159 and learning must show as decay.\n"
+            )
     print(f"wrote {args.out}")
 
 
