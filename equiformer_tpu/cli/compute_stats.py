@@ -14,6 +14,9 @@ from ..data import compute_stats, md17_like_dataset, oc20_like_dataset, qm9_like
 
 
 def main():
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser("dataset statistics")
     p.add_argument("--dataset", choices=["qm9", "md17", "oc20"], default="qm9")
     p.add_argument("--data-path", type=str, default="datasets")

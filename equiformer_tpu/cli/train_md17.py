@@ -56,6 +56,9 @@ def get_args():
 
 
 def main(args):
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     log = FileLogger(jax.process_index() == 0, args.output_dir)
     if args.synthetic:
         train = md17_like_dataset(256, num_atoms=21, seed=1)

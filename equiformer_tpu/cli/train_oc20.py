@@ -404,6 +404,9 @@ def main(args):
     """Registry-dispatched entry (reference main_oc20.py:60-66): config names
     the trainer, the CLI mode names the task; --sweep-yml expands a config
     grid (run sequentially, or emitted as a SLURM array with --submit)."""
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     cfg = resolve_config(args)
     if args.sweep_yml:
         from ..utils.config import create_grid

@@ -37,6 +37,9 @@ def get_args():
 
 
 def main(args):
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     log = FileLogger(jax.process_index() == 0, args.output_dir)
     if args.synthetic:
         train, mean, std = qm9_like_dataset(512, seed=1), 0.0, 1.0

