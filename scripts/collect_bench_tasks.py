@@ -11,7 +11,10 @@ The output JSON is rewritten after every completed run, and a per-task
 timeout (or any subprocess failure) skips that run instead of aborting the
 collection (ADVICE r4).
 
-Run: PYTHONPATH=. python scripts/collect_bench_tasks.py --out BENCH_TASKS_r05.json
+Run (from the repo root; do NOT set PYTHONPATH=. — that clobbers
+/root/.axon_site and the axon TPU backend never registers, CLAUDE.md gotcha):
+
+    python scripts/collect_bench_tasks.py --out BENCH_TASKS_r05.json
 """
 
 import argparse
