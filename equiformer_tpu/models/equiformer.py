@@ -17,6 +17,7 @@ Blocks:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -52,8 +53,15 @@ from ..nn.attention_utils import (
 from ..nn.dropout import EquivariantDropout, GraphDropPath
 from ..nn.linear import IrrepsLinear
 from ..nn.norms import get_norm_layer
-from ..nn.radial import make_rbf
-from ..nn.tp_modules import FCTP, FCTPSwishGate, EdgeDegreeEmbedding, NodeEmbedding, SeparableFCTP
+from ..nn.radial import RadialProfile, make_rbf
+from ..nn.tp_modules import (
+    FCTP,
+    FCTPSwishGate,
+    EdgeDegreeEmbedding,
+    NodeEmbedding,
+    SeparableFCTP,
+    _radial_fold_enabled,
+)
 
 # QM9 graph statistics at r=5A (reference graph_attention_transformer.py:33-36)
 _AVG_NUM_NODES = 18.03065905448718
@@ -64,6 +72,31 @@ def _glorot(key, shape, dtype=jnp.float32):
     # torch_geometric glorot on [heads, channels]
     bound = math.sqrt(6.0 / (shape[-2] + shape[-1]))
     return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _batch_radial_enabled() -> bool:
+    """EQUIFORMER_TPU_BATCH_RADIAL=1: compute every TransBlock's attention
+    radial MLP in ONE nn.vmap-stacked pass over the blocks (the per-edge
+    radial input depends only on geometry, never on block activations, so
+    the L per-block MLP chains collapse into one chain of [L, E, ·] batched
+    matmuls — fewer XLA ops, larger GEMMs).  Default OFF: changes the param
+    tree (radials move from block_i/ga/... into a stacked `radial_stack`),
+    so it is an A/B until a model-level on-chip win justifies converter
+    support (PERF_ANALYSIS.md round-5 table: radial MLPs ~4-5 ms in-step vs
+    a ~2.5 ms floor)."""
+    return os.environ.get("EQUIFORMER_TPU_BATCH_RADIAL", "0") not in ("0", "false")
+
+
+def _attn_radial_width(pre: Irreps, irreps_sh: Irreps, head: Irreps,
+                       num_heads: int, nonlinear_message: bool) -> int:
+    """weight_numel of the attention DTP radial — mirrors GraphAttention.setup
+    so the stacked radial can be built before the blocks exist."""
+    if nonlinear_message:
+        return depthwise_tp(pre, irreps_sh, pre).weight_numel
+    irreps_attn_heads = heads_irreps(head, num_heads)
+    mul_alpha = irreps_attn_heads.count("0e")
+    irreps_attn_all = (Irreps(f"{mul_alpha}x0e") + irreps_attn_heads).simplify()
+    return depthwise_tp(pre, irreps_sh, irreps_attn_all).weight_numel
 
 
 class GraphAttention(nn.Module):
@@ -142,6 +175,7 @@ class GraphAttention(nn.Module):
         edge_attr,
         edge_scalars,
         deterministic: bool = True,
+        w_radial=None,
     ):
         num_nodes = node_input.shape[0]
         head = Irreps(self.irreps_head)
@@ -159,7 +193,10 @@ class GraphAttention(nn.Module):
 
         n_edges = active_edge_bound(edges.mask)  # fused-kernel tile skipping
         if self.nonlinear_message:
-            w = self.sep_act.dtp_weights(edge_scalars)
+            # w_radial: precomputed raw radial-MLP output (the batched-radial
+            # path, _batch_radial_enabled); identical semantics to dtp_weights
+            w = w_radial if w_radial is not None else \
+                self.sep_act.dtp_weights(edge_scalars)
             # one (fused, when available) DTP evaluates both linear heads on
             # the unsimplified message: the gate input and the alpha scalars
             value, alpha = self.sep_act.dtp_lin(
@@ -172,8 +209,11 @@ class GraphAttention(nn.Module):
                                    n_edges=n_edges)
             value = vec2heads(head, H, value)  # [E, H, head_dim]
         else:
-            message = self.sep(message, edge_attr=edge_attr, edge_scalars=edge_scalars,
-                               n_edges=n_edges)
+            message = self.sep(
+                message, edge_attr=edge_attr,
+                edge_scalars=None if w_radial is not None else edge_scalars,
+                weights=w_radial, n_edges=n_edges,
+            )
             message = vec2heads(
                 (Irreps(f"{mah}x0e") + head).simplify(), H, message
             )
@@ -259,6 +299,7 @@ class TransBlock(nn.Module):
         node_mask,
         num_graphs,
         deterministic: bool = True,
+        w_radial=None,
     ):
         irreps_in = Irreps(self.irreps_node_input)
         irreps_out = Irreps(self.irreps_node_output)
@@ -283,7 +324,8 @@ class TransBlock(nn.Module):
                 proj_drop=self.proj_drop,
                 higher_order_grads=self.higher_order_grads,
                 name="ga",
-            )(x, node_attr, edges, edge_attr, edge_scalars, deterministic=deterministic)
+            )(x, node_attr, edges, edge_attr, edge_scalars,
+              deterministic=deterministic, w_radial=w_radial)
         elif self.attn_type == "dot":
             from .dp_attention import DotProductAttention
 
@@ -418,6 +460,37 @@ class GraphAttentionTransformer(nn.Module):
         node_features = atom_emb + edge_deg
         node_attr = jnp.ones((num_nodes, 1), feat_dtype)
 
+        # batched-radial A/B: one stacked pass computes every block's
+        # attention radial-MLP weights (input is pure geometry, so the L
+        # per-block chains collapse into [L, E, ·] batched matmuls)
+        ws_radial = None
+        if (
+            _batch_radial_enabled()
+            and self.attn_type == "mlp"
+            and self.num_layers > 1
+            and not _radial_fold_enabled()
+        ):
+            pre = (
+                Irreps(self.irreps_pre_attn)
+                if self.irreps_pre_attn
+                else Irreps(self.irreps_node_embedding)
+            )
+            width = _attn_radial_width(
+                pre, Irreps(self.irreps_sh), Irreps(self.irreps_head),
+                self.num_heads, self.nonlinear_message,
+            )
+            RadialStack = nn.vmap(
+                RadialProfile,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=None,
+                out_axes=0,
+                axis_size=self.num_layers,
+            )
+            ws_radial = RadialStack(
+                features=tuple(fc[1:]) + (width,), name="radial_stack"
+            )(edge_scalars)  # [L, E, width]
+
         block_cls = TransBlock
         if self.remat:
             # num_graphs (8) and deterministic (9) are static python values
@@ -458,6 +531,7 @@ class GraphAttentionTransformer(nn.Module):
                 node_mask,
                 num_graphs,
                 deterministic,
+                None if ws_radial is None else ws_radial[i],
             )
 
         feat_irreps = Irreps(self.irreps_feature)

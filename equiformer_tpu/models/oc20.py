@@ -29,9 +29,14 @@ from ..nn.activation import Activation
 from ..nn.dropout import EquivariantScalarsDropout
 from ..nn.linear import IrrepsLinear
 from ..nn.norms import get_norm_layer
-from ..nn.radial import GaussianRadialBasis
-from ..nn.tp_modules import EdgeDegreeEmbedding, NodeEmbedding
-from .equiformer import GraphAttention, TransBlock
+from ..nn.radial import GaussianRadialBasis, RadialProfile
+from ..nn.tp_modules import EdgeDegreeEmbedding, NodeEmbedding, _radial_fold_enabled
+from .equiformer import (
+    GraphAttention,
+    TransBlock,
+    _attn_radial_width,
+    _batch_radial_enabled,
+)
 from .registry import register_model
 
 _MAX_ATOM_TYPE = 84
@@ -146,6 +151,36 @@ class GraphAttentionTransformerOC20(nn.Module):
         else:
             node_attr = jnp.ones((num_nodes, 1), feat_dtype)
 
+        # batched-radial A/B (models/equiformer._batch_radial_enabled): one
+        # stacked pass computes every block's attention radial-MLP weights
+        ws_radial = None
+        if (
+            _batch_radial_enabled()
+            and self.attn_type == "mlp"
+            and self.num_layers > 1
+            and not _radial_fold_enabled()
+        ):
+            pre = (
+                Irreps(self.irreps_pre_attn)
+                if self.irreps_pre_attn
+                else emb_irreps
+            )
+            width = _attn_radial_width(
+                pre, Irreps(self.irreps_sh), Irreps(self.irreps_head),
+                self.num_heads, self.nonlinear_message,
+            )
+            RadialStack = nn.vmap(
+                RadialProfile,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=None,
+                out_axes=0,
+                axis_size=self.num_layers,
+            )
+            ws_radial = RadialStack(
+                features=tuple(fc[1:]) + (width,), name="radial_stack"
+            )(edge_scalars)  # [L, E, width]
+
         block_cls = TransBlock
         if self.remat:
             block_cls = nn.remat(TransBlock, static_argnums=(8, 9))
@@ -178,6 +213,7 @@ class GraphAttentionTransformerOC20(nn.Module):
             )(
                 node_features, node_attr, edges, edge_sh, edge_scalars,
                 batch, node_mask, num_graphs, deterministic,
+                None if ws_radial is None else ws_radial[i],
             )
 
         feat_irreps = Irreps(self.irreps_feature)

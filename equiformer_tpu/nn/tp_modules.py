@@ -426,9 +426,13 @@ class SeparableFCTP(nn.Module):
         num_graphs=None,
         apply_gate: bool = True,
         n_edges=None,
+        weights=None,
     ):
-        w = None
-        if self.fc_neurons is not None and edge_scalars is not None:
+        # ``weights``: precomputed raw radial-MLP output (the batched-radial
+        # path, models/equiformer._batch_radial_enabled) — same tensor
+        # dtp_weights would return, computed once for all blocks
+        w = weights
+        if w is None and self.fc_neurons is not None and edge_scalars is not None:
             w = self.dtp_weights(edge_scalars)
         out = self.dtp_lin(node_on_edge, edge_attr, w, n_edges=n_edges)
         if self.norm_layer is not None:

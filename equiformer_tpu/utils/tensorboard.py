@@ -15,8 +15,11 @@ The format is public and stable: a TFRecord stream of serialized
   Summary := 1: repeated Value { 1: tag (string), 2: simple_value (float) }
 
 Both the protobuf wire encoding and the CRC32C (Castagnoli) checksum are
-implemented here from the public specs, so the exporter works in this image
-(which has neither tensorflow nor the tensorboard wheel).
+implemented here from the public specs, so the exporter needs neither
+tensorflow nor the tensorboard wheel.  The output is validated against the
+real consumer: tests/test_oc20.py::test_tensorboard_real_consumer parses
+files written here with tensorboard's own EventFileLoader (which verifies
+the masked CRC32C of every record).
 
 Also usable as a CLI to export an existing metrics.jsonl run directory:
 

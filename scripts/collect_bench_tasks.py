@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--tasks", default="qm9,oc20,md17,dens,oc20_18b")
     ap.add_argument("--runs", type=int, default=5,
                     help="bench runs per task; value/vs_baseline = median")
+    ap.add_argument("--inprocess", action="store_true",
+                    help="one bench.py subprocess per task with --repeat RUNS "
+                         "measurement windows (one remote compile instead of "
+                         "RUNS; needed for the 15-20 min HO-path compiles)")
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-run subprocess timeout (seconds)")
     ap.add_argument("--merge", default=None,
@@ -67,6 +71,16 @@ def main():
             json.dump(rows, fh, indent=1)
 
     for task in args.tasks.split(","):
+        if args.inprocess:
+            print(f"== bench --task {task} --repeat {args.runs}", flush=True)
+            row = run_once(task, args.timeout, (f"--repeat={args.runs}",))
+            if row is None:
+                print(f"  no successful run for {task}", flush=True)
+                continue
+            print(f"  {json.dumps(row)}", flush=True)
+            rows[task] = row
+            flush()
+            continue
         readings = []
         row = None
         for i in range(args.runs):

@@ -288,6 +288,41 @@ def test_tensorboard_writer_roundtrip(tmp_path):
     assert not os.path.exists(str(tmp_path / "tb2"))
 
 
+def test_tensorboard_real_consumer(tmp_path):
+    """The from-spec TFEvents writer, parsed by the REAL tensorboard package
+    (EventFileLoader verifies the masked CRC32C of every record) — external
+    validation of the wire format, not a round trip through our own reader."""
+    pytest.importorskip("tensorboard")
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+
+    from equiformer_tpu.utils.tensorboard import TensorboardWriter
+
+    logdir = str(tmp_path / "tb")
+    with TensorboardWriter(logdir) as tb:
+        tb.add_scalars(1, {"loss": 0.5, "mae": 2.0})
+        tb.add_scalar("lr", 1e-3, 3)
+    import glob
+    import os
+
+    (path,) = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
+    events = list(EventFileLoader(path).Load())
+    assert events[0].file_version == "brain.Event:2"
+    assert events[0].wall_time > 0
+
+    scalars = {}
+    for ev in events[1:]:
+        for val in ev.summary.value:
+            # tensorboard 2.x migrates simple_value -> rank-0 tensor on load
+            v = (val.tensor.float_val[0] if val.tensor.float_val
+                 else val.simple_value)
+            scalars[(ev.step, val.tag)] = v
+    assert abs(scalars[(1, "loss")] - 0.5) < 1e-7
+    assert abs(scalars[(1, "mae")] - 2.0) < 1e-7
+    assert abs(scalars[(3, "lr")] - 1e-3) < 1e-9
+
+
 def test_export_jsonl_to_tensorboard(tmp_path):
     from equiformer_tpu.utils.tensorboard import export_jsonl, read_events
 
