@@ -924,6 +924,118 @@ def _save_z_default() -> bool:
     return os.environ.get("EQUIFORMER_TPU_SAVE_Z", "1") not in ("0", "false")
 
 
+def _tile_eff(tile: int, dtype) -> int:
+    """VMEM scratch scales with bytes-per-element: the tuned tiles are
+    calibrated for bf16; fp32 (profile runs, --fp32) halves the tile — the
+    folded-shared backward at tile 256 fp32 measured a 16.33M scoped-vmem
+    OOM on v5e."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return tile
+    return max(32, tile // 2)
+
+
+def make_bwd_call(plan: DTPLinPlan, tile: int, save_z: bool, interpret: bool):
+    """Module-level builder for the fused backward pallas_call — shared by
+    make_fused_dtp_lin's custom_vjp and the pair kernel (dtp_lin_pair.py),
+    whose composed backward reuses the two plans' existing bwd kernels."""
+
+    def z_specs(T):
+        return tuple(
+            pl.BlockSpec((g.ir.dim * T, g.fan_pad), lambda i, *_: (i, 0))
+            for g in plan.groups
+        )
+
+    def bwd_call(x, sh, w, Ws, g, zs, n):
+        E = g.shape[0]
+        dtype = g.dtype
+        T = _tile_eff(tile, dtype)
+        has_x = _bwd_needs_x(plan, save_z)
+        z_scratch = [] if save_z else [
+            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
+        ]
+        dz_scratch = [
+            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
+        ]
+        g_scratch = [
+            pltpu.VMEM((gr.ir.dim * T, gr.cols), dtype) for gr in plan.groups
+        ]
+        dW_shapes = tuple(
+            jax.ShapeDtypeStruct((gr.fan_pad, gr.cols), jnp.float32)
+            for gr in plan.groups
+        )
+        dW_specs = tuple(_shared_spec((gr.fan_pad, gr.cols)) for gr in plan.groups)
+
+        rad = plan.radial_fold is not None
+        in_specs, operands = [], []
+        if has_x:
+            in_specs.append(pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)))
+            operands.append(x)
+        in_specs.append(pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)))
+        operands.append(sh)
+        if rad:
+            h, Wrs = w
+            in_specs.append(pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0)))
+            operands.append(h)
+            in_specs += [_shared_spec(M.shape) for M in Wrs]
+            operands += list(Wrs)
+        elif not plan.fold_shared:
+            in_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
+            operands.append(w)
+        in_specs += [_shared_spec(W.shape) for W in Ws]
+        operands += list(Ws)
+        in_specs.append(pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)))
+        operands.append(g)
+        if save_z:
+            in_specs += list(z_specs(T))
+            operands += list(zs)
+
+        out_shape = [
+            jax.ShapeDtypeStruct((E, plan.d_x), dtype),
+            jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
+        ]
+        out_specs = [
+            pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
+            pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
+        ]
+        if rad:
+            out_shape.append(jax.ShapeDtypeStruct((E, plan.rad_hp), h.dtype))
+            out_specs.append(
+                pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0))
+            )
+            for (p, _, width), M in zip(plan.rad_ranges, Wrs):
+                out_shape.append(
+                    jax.ShapeDtypeStruct((p * plan.rad_hp, width), jnp.float32)
+                )
+                out_specs.append(_shared_spec((p * plan.rad_hp, width)))
+        elif not plan.fold_shared:
+            out_shape.append(jax.ShapeDtypeStruct((E, plan.d_w), w.dtype))
+            out_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
+        out_shape += list(dW_shapes)
+        out_specs += list(dW_specs)
+
+        scratch = []
+        if has_x:
+            scratch.append(pltpu.VMEM((T, plan.d_x_al), dtype))
+        if rad or not plan.fold_shared:
+            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
+        scratch += z_scratch + dz_scratch + g_scratch
+
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, plan, T, save_z),
+            out_shape=tuple(out_shape),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(E // T,),
+                in_specs=in_specs,
+                out_specs=tuple(out_specs),
+                scratch_shapes=scratch,
+            ),
+            interpret=interpret,
+        )(n, *operands)
+
+    return bwd_call
+
+
 def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
                        interpret: Optional[bool] = None,
                        save_z: Optional[bool] = None):
@@ -1022,93 +1134,7 @@ def make_fused_dtp_lin(plan: DTPLinPlan, tile: int = 128,
             interpret=interpret,
         )(n, *operands)
 
-    def bwd_call(x, sh, w, Ws, g, zs, n):
-        E = g.shape[0]
-        dtype = g.dtype
-        T = _t_eff(dtype)
-        has_x = _bwd_needs_x(plan, save_z)
-        z_scratch = [] if save_z else [
-            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
-        ]
-        dz_scratch = [
-            pltpu.VMEM((gr.ir.dim * T, gr.fan_pad), dtype) for gr in plan.groups
-        ]
-        g_scratch = [
-            pltpu.VMEM((gr.ir.dim * T, gr.cols), dtype) for gr in plan.groups
-        ]
-        dW_shapes = tuple(
-            jax.ShapeDtypeStruct((gr.fan_pad, gr.cols), jnp.float32)
-            for gr in plan.groups
-        )
-        dW_specs = tuple(_shared_spec((gr.fan_pad, gr.cols)) for gr in plan.groups)
-
-        rad = plan.radial_fold is not None
-        in_specs, operands = [], []
-        if has_x:
-            in_specs.append(pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)))
-            operands.append(x)
-        in_specs.append(pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)))
-        operands.append(sh)
-        if rad:
-            h, Wrs = w
-            in_specs.append(pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0)))
-            operands.append(h)
-            in_specs += [_shared_spec(M.shape) for M in Wrs]
-            operands += list(Wrs)
-        elif not plan.fold_shared:
-            in_specs.append(w_spec(E, T))
-            operands.append(w)
-        in_specs += [_shared_spec(W.shape) for W in Ws]
-        operands += list(Ws)
-        in_specs.append(pl.BlockSpec((T, plan.d_out), lambda i, *_: (i, 0)))
-        operands.append(g)
-        if save_z:
-            in_specs += list(z_specs(T))
-            operands += list(zs)
-
-        out_shape = [
-            jax.ShapeDtypeStruct((E, plan.d_x), dtype),
-            jax.ShapeDtypeStruct((E, plan.d_sh), sh.dtype),
-        ]
-        out_specs = [
-            pl.BlockSpec((T, plan.d_x), lambda i, *_: (i, 0)),
-            pl.BlockSpec((T, plan.d_sh), lambda i, *_: (i, 0)),
-        ]
-        if rad:
-            out_shape.append(jax.ShapeDtypeStruct((E, plan.rad_hp), h.dtype))
-            out_specs.append(
-                pl.BlockSpec((T, plan.rad_hp), lambda i, *_: (i, 0))
-            )
-            for (p, _, width), M in zip(plan.rad_ranges, Wrs):
-                out_shape.append(
-                    jax.ShapeDtypeStruct((p * plan.rad_hp, width), jnp.float32)
-                )
-                out_specs.append(_shared_spec((p * plan.rad_hp, width)))
-        elif not plan.fold_shared:
-            out_shape.append(jax.ShapeDtypeStruct((E, plan.d_w), w.dtype))
-            out_specs.append(pl.BlockSpec((T, plan.d_w), lambda i, *_: (i, 0)))
-        out_shape += list(dW_shapes)
-        out_specs += list(dW_specs)
-
-        scratch = []
-        if has_x:
-            scratch.append(pltpu.VMEM((T, plan.d_x_al), dtype))
-        if rad or not plan.fold_shared:
-            scratch.append(pltpu.VMEM((T, plan.d_w_al), dtype))
-        scratch += z_scratch + dz_scratch + g_scratch
-
-        return pl.pallas_call(
-            functools.partial(_bwd_kernel, plan, T, save_z),
-            out_shape=tuple(out_shape),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(E // T,),
-                in_specs=in_specs,
-                out_specs=tuple(out_specs),
-                scratch_shapes=scratch,
-            ),
-            interpret=interpret,
-        )(n, *operands)
+    bwd_call = make_bwd_call(plan, tile, save_z, interpret)
 
     if plan.fold_shared:
 
